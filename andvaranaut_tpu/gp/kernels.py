@@ -1,0 +1,96 @@
+"""Covariance kernels with PyMC semantics (reference gpmcmc.py:282-307).
+
+Definitions match pm.gp.cov exactly for parity:
+  RBF (ExpQuad):    exp(-0.5 * r2)
+  Matern52:         (1 + sqrt(5) r + 5/3 r2) exp(-sqrt(5) r)
+  Matern32:         (1 + sqrt(3) r) exp(-sqrt(3) r)
+  Exponential:      exp(-0.5 * r)        [PyMC's convention]
+  RatQuad:          (1 + r2 / (2 alpha)) ** (-alpha)
+with r2 the ARD-scaled squared distance sum_k ((x_k - x'_k)/ls_k)^2.
+
+Kernel algebra: a '+'/'*' composition string like 'RBF*Matern52+RatQuad',
+each component scaled by its own variance kv[i] with its own lengthscale
+block l[i*nx:(i+1)*nx].  The reference's ops parser (gpmcmc.py:498, a
+char-class regex that mangles 'RatQuad') is replaced by a correct one.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import jax.numpy as jnp
+
+KERNEL_NAMES = ("RBF", "Matern52", "Matern32", "Exponential", "RatQuad")
+
+
+def parse_kernel(kernel: str):
+    """Split a kernel composition string into component names and operators.
+
+    Returns (kerns, ops): len(ops) == len(kerns) - 1, ops[i] applied between
+    component i and i+1 left-to-right (reference gpmcmc.py:301-307).
+    """
+    kerns = tuple(re.split(r"[+*]", kernel))
+    ops = tuple(re.findall(r"[+*]", kernel))
+    for k in kerns:
+        if k not in KERNEL_NAMES:
+            raise Exception(
+                f"Error: kernel string must contain only {list(KERNEL_NAMES)}")
+    if len(ops) != len(kerns) - 1:
+        raise Exception(f"Error: malformed kernel string '{kernel}'")
+    return kerns, ops
+
+
+def _scaled_sqdist(X, X2, ls):
+    """ARD-scaled squared distance, MXU-friendly matmul form."""
+    Xs = X / ls
+    X2s = X2 / ls
+    n2 = jnp.sum(Xs * Xs, axis=1)
+    m2 = jnp.sum(X2s * X2s, axis=1)
+    r2 = n2[:, None] + m2[None, :] - 2.0 * Xs @ X2s.T
+    return jnp.maximum(r2, 0.0)
+
+
+def base_kernel(name: str, X, X2, ls, alpha=None, diag: bool = False):
+    """One unscaled component k(X, X2) (variance applied by caller)."""
+    if diag:
+        n = X.shape[0]
+        return jnp.ones(n, dtype=X.dtype)  # all five have k(x,x) = 1
+    r2 = _scaled_sqdist(X, X2, ls)
+    if name == "RBF":
+        return jnp.exp(-0.5 * r2)
+    if name == "RatQuad":
+        return jnp.power(1.0 + r2 / (2.0 * alpha), -alpha)
+    r = jnp.sqrt(r2 + 1e-36)  # guard d/dr at r=0; exact value unaffected
+    if name == "Matern52":
+        s5 = math.sqrt(5.0)
+        return (1.0 + s5 * r + (5.0 / 3.0) * r2) * jnp.exp(-s5 * r)
+    if name == "Matern32":
+        s3 = math.sqrt(3.0)
+        return (1.0 + s3 * r) * jnp.exp(-s3 * r)
+    if name == "Exponential":
+        return jnp.exp(-0.5 * r)
+    raise ValueError(f"Unknown kernel {name}")
+
+
+def gram(kerns, ops, X, X2, l_flat, kv, alpha=None, diag: bool = False):
+    """Composite Gram matrix (or its diagonal) over converted inputs.
+
+    l_flat: (nkern*nx,) ARD lengthscales, block per component.
+    kv:     (nkern,) per-component variances.
+    alpha:  RatQuad shape (scalar; at most one RatQuad, as in the reference).
+    """
+    nx = X.shape[1]
+    if X2 is None:
+        X2 = X
+    out = None
+    for i, name in enumerate(kerns):
+        ls = l_flat[i * nx : (i + 1) * nx]
+        ki = kv[i] * base_kernel(name, X, X2, ls, alpha=alpha, diag=diag)
+        if out is None:
+            out = ki
+        elif ops[i - 1] == "+":
+            out = out + ki
+        else:
+            out = out * ki
+    return out

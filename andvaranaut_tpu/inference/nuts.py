@@ -1,0 +1,561 @@
+"""On-device multi-chain No-U-Turn Sampler.
+
+Replaces pm.sample's multiprocess NUTS chains (reference gpmcmc.py:351, 842,
+1175) with a fully jitted sampler: iterative tree building under
+lax.while_loop (checkpoint-stack U-turn detection, so max_treedepth=10 costs
+an O(depth) stack rather than an O(2^depth) unrolled graph), multinomial
+leaf sampling with biased progressive doubling, dual-averaging step-size
+adaptation and Welford diagonal mass adaptation.  Chains are vmapped and
+sharded across the device mesh — 64-chain hyperparameter posteriors are one
+compiled program (BASELINE.json north star).
+
+Samples over the unconstrained vector z of an
+``inference.unconstrained.RVPack``; constrained draws are unpacked
+post-hoc.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAX_DELTA_ENERGY = 1000.0
+
+
+class _DAState(NamedTuple):
+    """Dual-averaging state (Hoffman & Gelman 2014, §3.2)."""
+
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    h_bar: jnp.ndarray
+    mu: jnp.ndarray
+    t: jnp.ndarray
+
+
+def _da_init(eps0):
+    return _DAState(
+        log_eps=jnp.log(eps0),
+        log_eps_bar=jnp.zeros_like(eps0),
+        h_bar=jnp.zeros_like(eps0),
+        mu=jnp.log(10.0 * eps0),
+        t=jnp.zeros_like(eps0),
+    )
+
+
+def _da_update(state: _DAState, accept_prob, target):
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    t = state.t + 1.0
+    w = 1.0 / (t + t0)
+    h_bar = (1.0 - w) * state.h_bar + w * (target - accept_prob)
+    log_eps = state.mu - jnp.sqrt(t) / gamma * h_bar
+    wt = t ** (-kappa)
+    log_eps_bar = wt * log_eps + (1.0 - wt) * state.log_eps_bar
+    return _DAState(log_eps, log_eps_bar, h_bar, state.mu, t)
+
+
+def _leapfrog(z, r, grad, eps, inv_mass, U_and_grad):
+    """One leapfrog step; grad is dU/dz at z (cached)."""
+    r = r - 0.5 * eps * grad
+    z = z + eps * inv_mass * r
+    U, grad = U_and_grad(z)
+    r = r - 0.5 * eps * grad
+    return z, r, U, grad
+
+
+def _kinetic(r, inv_mass):
+    return 0.5 * jnp.sum(inv_mass * r * r)
+
+
+def _trailing_ones(i):
+    u = i + 1
+    lowbit = u & (-u)
+    return jax.lax.population_count(lowbit - 1)
+
+
+def _uturn(r_sum, r_first, r_last, inv_mass):
+    v = inv_mass * r_sum
+    return (jnp.dot(v, r_first) <= 0.0) | (jnp.dot(v, r_last) <= 0.0)
+
+
+def _build_subtree(key, depth, z0, r0, U0, grad0, direction, eps, inv_mass,
+                   H0, U_and_grad, max_treedepth):
+    """Iteratively build a balanced subtree of 2^depth leaves extending from
+    (z0, r0) in `direction`.
+
+    Checkpoint scheme: leaf i (0-based) even -> store (r_i, S_before_i) at
+    slot popcount(i); at odd i with t trailing ones, the completed level-k
+    subtrees (k=1..t) are checked against slots popcount(i)-k.
+
+    Returns dict with endpoint state, momentum sum, proposal, log weight,
+    accept-stat sum, and turning/diverging flags.
+    """
+    dim = z0.shape[0]
+    num_leaves = jnp.asarray(2, jnp.int32) ** depth
+    seps = direction * eps
+
+    def cond(c):
+        return (c["i"] < num_leaves) & (~c["turning"]) & (~c["diverging"])
+
+    def body(c):
+        key = c["key"]
+        key, ksel = jax.random.split(key)
+        z, r, U, grad = _leapfrog(
+            c["z"], c["r"], c["grad"], seps, inv_mass, U_and_grad)
+        H = U + _kinetic(r, inv_mass)
+        H = jnp.where(jnp.isnan(H), jnp.inf, H)
+        diverging = (H - H0) > _MAX_DELTA_ENERGY
+        lw_leaf = H0 - H  # log multinomial weight
+
+        i = c["i"]
+        # store checkpoint at even leaves
+        is_even = (i % 2) == 0
+        slot = jax.lax.population_count(i)
+        r_ck = jnp.where(
+            is_even, c["r_ckpts"].at[slot].set(r), c["r_ckpts"])
+        s_ck = jnp.where(
+            is_even, c["s_ckpts"].at[slot].set(c["S"]), c["s_ckpts"])
+
+        S = c["S"] + r
+
+        # U-turn checks for completed subtrees ending at odd i
+        t = _trailing_ones(i)
+        pc = jax.lax.population_count(i)
+
+        def check(k, turning):
+            do = k <= t
+            ck = pc - k
+            ck = jnp.clip(ck, 0, max_treedepth)
+            r_first = r_ck[ck]
+            r_sum_k = S - s_ck[ck]
+            return turning | (do & _uturn(r_sum_k, r_first, r, inv_mass))
+
+        turning = jax.lax.fori_loop(
+            1, max_treedepth + 1, check, jnp.asarray(False))
+
+        # multinomial proposal update within subtree
+        lw_new = jnp.logaddexp(c["lw"], lw_leaf)
+        p_take = jnp.exp(lw_leaf - lw_new)
+        take = jax.random.uniform(ksel, ()) < p_take
+        z_prop = jnp.where(take, z, c["z_prop"])
+
+        accept = jnp.minimum(1.0, jnp.exp(H0 - H))
+
+        return {
+            "key": key, "i": i + 1, "z": z, "r": r, "U": U, "grad": grad,
+            "S": S, "lw": lw_new, "z_prop": z_prop,
+            "sum_accept": c["sum_accept"] + accept,
+            "n_leaves": c["n_leaves"] + 1,
+            "turning": turning, "diverging": diverging,
+            "r_ckpts": r_ck, "s_ckpts": s_ck,
+        }
+
+    init = {
+        "key": key, "i": jnp.asarray(0, jnp.int32),
+        "z": z0, "r": r0, "U": U0, "grad": grad0,
+        "S": jnp.zeros(dim, z0.dtype),
+        "lw": jnp.asarray(-jnp.inf, z0.dtype),
+        "z_prop": z0,
+        "sum_accept": jnp.asarray(0.0, z0.dtype),
+        "n_leaves": jnp.asarray(0, jnp.int32),
+        "turning": jnp.asarray(False), "diverging": jnp.asarray(False),
+        "r_ckpts": jnp.zeros((max_treedepth + 1, dim), z0.dtype),
+        "s_ckpts": jnp.zeros((max_treedepth + 1, dim), z0.dtype),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def _nuts_transition(key, z, U, grad, eps, inv_mass, U_and_grad,
+                     max_treedepth):
+    """One NUTS trajectory from z.  Returns (z', U', grad', stats)."""
+    dim = z.shape[0]
+    kr, kloop = jax.random.split(key)
+    mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+    r0 = jax.random.normal(kr, (dim,), z.dtype) * mass_sqrt
+    H0 = U + _kinetic(r0, inv_mass)
+
+    init = {
+        "key": kloop,
+        "z_left": z, "r_left": r0, "U_left": U, "grad_left": grad,
+        "z_right": z, "r_right": r0, "U_right": U, "grad_right": grad,
+        "S": r0, "lw": jnp.asarray(0.0, z.dtype),
+        "z_prop": z, "depth": jnp.asarray(0, jnp.int32),
+        "turning": jnp.asarray(False), "diverging": jnp.asarray(False),
+        "sum_accept": jnp.asarray(0.0, z.dtype),
+        "n_leaves": jnp.asarray(0, jnp.int32),
+    }
+
+    def cond(c):
+        return (
+            (c["depth"] < max_treedepth)
+            & (~c["turning"]) & (~c["diverging"])
+        )
+
+    def body(c):
+        key, kdir, ksub, kmerge = jax.random.split(c["key"], 4)
+        direction = jnp.where(
+            jax.random.bernoulli(kdir, 0.5), 1.0, -1.0).astype(z.dtype)
+        go_right = direction > 0
+        z0 = jnp.where(go_right, c["z_right"], c["z_left"])
+        r0 = jnp.where(go_right, c["r_right"], c["r_left"])
+        U0 = jnp.where(go_right, c["U_right"], c["U_left"])
+        g0 = jnp.where(go_right, c["grad_right"], c["grad_left"])
+
+        sub = _build_subtree(
+            ksub, c["depth"], z0, r0, U0, g0, direction, eps, inv_mass,
+            H0, U_and_grad, max_treedepth)
+
+        ok = (~sub["turning"]) & (~sub["diverging"])
+
+        # merge endpoints
+        z_left = jnp.where(go_right, c["z_left"], jnp.where(ok, sub["z"], c["z_left"]))
+        r_left = jnp.where(go_right, c["r_left"], jnp.where(ok, sub["r"], c["r_left"]))
+        U_left = jnp.where(go_right, c["U_left"], jnp.where(ok, sub["U"], c["U_left"]))
+        g_left = jnp.where(go_right, c["grad_left"], jnp.where(ok, sub["grad"], c["grad_left"]))
+        z_right = jnp.where(go_right, jnp.where(ok, sub["z"], c["z_right"]), c["z_right"])
+        r_right = jnp.where(go_right, jnp.where(ok, sub["r"], c["r_right"]), c["r_right"])
+        U_right = jnp.where(go_right, jnp.where(ok, sub["U"], c["U_right"]), c["U_right"])
+        g_right = jnp.where(go_right, jnp.where(ok, sub["grad"], c["grad_right"]), c["grad_right"])
+
+        # biased progressive sampling: favour the new subtree
+        p_new = jnp.exp(jnp.minimum(0.0, sub["lw"] - c["lw"]))
+        take = ok & (jax.random.uniform(kmerge, ()) < p_new)
+        z_prop = jnp.where(take, sub["z_prop"], c["z_prop"])
+        lw = jnp.where(ok, jnp.logaddexp(c["lw"], sub["lw"]), c["lw"])
+        S = jnp.where(ok, c["S"] + sub["S"], c["S"])
+
+        # full-trajectory U-turn check after merge
+        full_turn = ok & _uturn(S, r_left, r_right, inv_mass)
+
+        return {
+            "key": key,
+            "z_left": z_left, "r_left": r_left, "U_left": U_left,
+            "grad_left": g_left,
+            "z_right": z_right, "r_right": r_right, "U_right": U_right,
+            "grad_right": g_right,
+            "S": S, "lw": lw, "z_prop": z_prop,
+            "depth": c["depth"] + 1,
+            "turning": sub["turning"] | full_turn,
+            "diverging": sub["diverging"],
+            "sum_accept": c["sum_accept"] + sub["sum_accept"],
+            "n_leaves": c["n_leaves"] + sub["n_leaves"],
+        }
+
+    out = jax.lax.while_loop(cond, body, init)
+    z_new = out["z_prop"]
+    U_new, grad_new = U_and_grad(z_new)
+    accept_stat = out["sum_accept"] / jnp.maximum(out["n_leaves"], 1)
+    stats = {
+        "accept": accept_stat,
+        "diverging": out["diverging"],
+        "depth": out["depth"],
+        "n_leaves": out["n_leaves"],
+    }
+    return z_new, U_new, grad_new, stats
+
+
+def _find_reasonable_eps(key, z, U, grad, inv_mass, U_and_grad):
+    """Heuristic initial step size (Hoffman & Gelman Alg. 4)."""
+    dim = z.shape[0]
+    r0 = jax.random.normal(key, (dim,), z.dtype) / jnp.sqrt(inv_mass)
+    H0 = U + _kinetic(r0, inv_mass)
+
+    def accept_prob(eps):
+        z1, r1, U1, _ = _leapfrog(z, r0, grad, eps, inv_mass, U_and_grad)
+        H1 = U1 + _kinetic(r1, inv_mass)
+        H1 = jnp.where(jnp.isnan(H1), jnp.inf, H1)
+        return jnp.exp(H0 - H1)
+
+    eps0 = jnp.asarray(1.0, z.dtype)
+    direction = jnp.where(accept_prob(eps0) > 0.5, 1.0, -1.0)
+
+    def cond(c):
+        eps, it = c
+        p = accept_prob(eps)
+        keep = jnp.where(
+            direction > 0, p > 0.5, p < 0.5)
+        return keep & (it < 50) & (eps > 1e-10) & (eps < 1e10)
+
+    def body(c):
+        eps, it = c
+        return eps * jnp.where(direction > 0, 2.0, 0.5), it + 1
+
+    eps, _ = jax.lax.while_loop(cond, body, (eps0, jnp.asarray(0)))
+    return eps
+
+
+@partial(jax.jit, static_argnames=(
+    "logp_fn", "num_warmup", "num_samples", "max_treedepth", "dim"))
+def _run_chain(key, z_init, logp_fn, num_warmup, num_samples,
+               target_accept, max_treedepth, dim):
+    """One full adaptive chain.  vmapped over chains by the caller."""
+
+    def U_and_grad(z):
+        lp, g = jax.value_and_grad(logp_fn)(z)
+        return -lp, -g
+
+    U0, grad0 = U_and_grad(z_init)
+
+    keps, krun = jax.random.split(key)
+    inv_mass0 = jnp.ones(dim, z_init.dtype)
+    eps0 = _find_reasonable_eps(
+        keps, z_init, U0, grad0, inv_mass0, U_and_grad)
+    da0 = _da_init(eps0)
+
+    # Welford mass window [0.15W, 0.95W)
+    w_start = jnp.asarray(int(0.15 * num_warmup))
+    w_end = jnp.asarray(max(int(0.95 * num_warmup), int(0.15 * num_warmup) + 1))
+
+    def step(carry, inp):
+        step_idx, key = inp
+        z, U, grad, da, inv_mass, welford = carry
+        in_warmup = step_idx < num_warmup
+        eps = jnp.where(
+            in_warmup, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
+        z, U, grad, stats = _nuts_transition(
+            key, z, U, grad, eps, inv_mass, U_and_grad, max_treedepth)
+
+        # dual averaging during warmup
+        da_new = _da_update(da, stats["accept"], target_accept)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(in_warmup, a, b), da_new, da)
+
+        # Welford accumulation in window
+        count, mean, m2 = welford
+        in_window = in_warmup & (step_idx >= w_start) & (step_idx < w_end)
+        delta = z - mean
+        count1 = count + 1
+        mean1 = mean + delta / count1
+        m2_1 = m2 + delta * (z - mean1)
+        welford = (
+            jnp.where(in_window, count1, count),
+            jnp.where(in_window, mean1, mean),
+            jnp.where(in_window, m2_1, m2),
+        )
+
+        # apply mass estimate at window end, restart step-size adaptation
+        apply_mass = step_idx == w_end
+        cnt = jnp.maximum(welford[0], 1.0)
+        var = welford[2] / cnt
+        var_reg = (cnt / (cnt + 5.0)) * var + 1e-3 * (5.0 / (cnt + 5.0))
+        inv_mass = jnp.where(apply_mass, var_reg, inv_mass)
+        da_reset = _da_init(jnp.exp(da.log_eps))
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(apply_mass, a, b), da_reset, da)
+
+        out = {
+            "z": z, "lp": -U,
+            "diverging": stats["diverging"],
+            "accept": stats["accept"],
+            "depth": stats["depth"],
+            "eps": eps,
+        }
+        return (z, U, grad, da, inv_mass, welford), out
+
+    total = num_warmup + num_samples
+    keys = jax.random.split(krun, total)
+    welford0 = (
+        jnp.asarray(0.0, z_init.dtype),
+        jnp.zeros(dim, z_init.dtype),
+        jnp.zeros(dim, z_init.dtype),
+    )
+    carry0 = (z_init, U0, grad0, da0, inv_mass0, welford0)
+    steps = (jnp.arange(total), keys)
+    _, hist = jax.lax.scan(step, carry0, steps)
+    # return post-warmup draws only
+    post = jax.tree_util.tree_map(lambda a: a[num_warmup:], hist)
+    return post
+
+
+def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
+                num_chains=4, target_accept=0.8, max_treedepth=10,
+                jitter_init=1.0, shard=True):
+    """Run `num_chains` adaptive NUTS chains, vmapped and (optionally)
+    sharded over available devices.
+
+    logp_fn: unconstrained log posterior, R^dim -> R.
+    z0: (dim,) initial point; chains start at z0 + U(-jitter, jitter)
+    (PyMC's jitter+adapt_diag init).
+    Returns dict of stacked arrays with leading (chains, draws).
+    """
+    dim = int(np.asarray(z0).shape[0])
+    kinit, krun = jax.random.split(key)
+    z_inits = jnp.asarray(z0)[None, :] + jax.random.uniform(
+        kinit, (num_chains, dim), minval=-jitter_init, maxval=jitter_init,
+        dtype=jnp.asarray(z0).dtype)
+    chain_keys = jax.random.split(krun, num_chains)
+
+    run = jax.vmap(
+        lambda k, z: _run_chain(
+            k, z, logp_fn, num_warmup, num_samples, target_accept,
+            max_treedepth, dim))
+
+    if shard and jax.device_count() > 1 and num_chains % jax.device_count() == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        sharding = NamedSharding(mesh, P("chains"))
+        chain_keys = jax.device_put(chain_keys, sharding)
+        z_inits = jax.device_put(z_inits, sharding)
+
+    return run(chain_keys, z_inits)
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics (arviz-free)
+# ---------------------------------------------------------------------------
+
+def split_rhat(x):
+    """Split-R-hat over (chains, draws) samples (Vehtari et al. 2021)."""
+    x = np.asarray(x)
+    c, n = x.shape[:2]
+    half = n // 2
+    halves = np.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+    m, nn = halves.shape[:2]
+    chain_means = halves.mean(axis=1)
+    chain_vars = halves.var(axis=1, ddof=1)
+    W = chain_vars.mean(axis=0)
+    B = nn * chain_means.var(axis=0, ddof=1)
+    var_est = (nn - 1) / nn * W + B / nn
+    return np.sqrt(var_est / W)
+
+
+def ess_bulk(x):
+    """Bulk effective sample size via autocorrelation (Geyer initial
+    monotone sequence), on rank-normalised draws."""
+    x = np.asarray(x, dtype=np.float64)
+    c, n = x.shape[:2]
+    if x.ndim == 2:
+        x = x[..., None]
+    out = []
+    for j in range(x.shape[-1]):
+        xj = x[..., j]
+        # rank-normalise
+        r = np.argsort(np.argsort(xj.reshape(-1))).reshape(c, n) + 1.0
+        z = (r - 0.375) / (c * n + 0.25)
+        from scipy.special import ndtri
+
+        z = ndtri(z)
+        out.append(_ess_raw(z))
+    return np.array(out) if len(out) > 1 else out[0]
+
+
+def _ess_raw(x):
+    c, n = x.shape
+    means = x.mean(axis=1, keepdims=True)
+    xc = x - means
+    # per-chain autocovariance via FFT
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :n].real / n
+    W = acov[:, 0].mean()
+    var_w = x.var(axis=1, ddof=1).mean()
+    B = x.mean(axis=1).var(ddof=1) * 1.0 if c > 1 else 0.0
+    var_plus = (n - 1) / n * var_w + B
+    rho = 1.0 - (W - acov.mean(axis=0)) / var_plus
+    # Geyer initial monotone positive sequence
+    tau = 0.0
+    prev = np.inf
+    t = 1
+    tau = 1.0
+    while t + 1 < n:
+        pair = rho[t] + rho[t + 1]
+        if pair < 0:
+            break
+        pair = min(pair, prev)
+        prev = pair
+        tau += 2.0 * pair
+        t += 2
+    return c * n / max(tau, 1e-12)
+
+
+class MCMCData:
+    """Minimal InferenceData-like container: posterior draws per RV with
+    leading (chain, draw) plus sample stats — what mean_extract/map_extract
+    (gpmcmc.py:404-430) and the diagnostics need."""
+
+    def __init__(self, posterior: dict, sample_stats: dict):
+        self.posterior = posterior
+        self.sample_stats = sample_stats
+
+    def posterior_mean(self):
+        return {
+            k: np.asarray(v).mean(axis=(0, 1)) for k, v in self.posterior.items()
+        }
+
+    def max_logp_point(self):
+        lp = np.asarray(self.sample_stats["lp"])
+        idx = np.unravel_index(np.argmax(lp), lp.shape)
+        point = {
+            k: np.asarray(v)[idx] for k, v in self.posterior.items()
+        }
+        return point, float(lp[idx])
+
+    def rhat(self):
+        return {
+            k: split_rhat(
+                np.asarray(v).reshape(v.shape[0], v.shape[1], -1))
+            for k, v in self.posterior.items()
+        }
+
+    def ess(self):
+        return {
+            k: ess_bulk(np.asarray(v)) for k, v in self.posterior.items()
+        }
+
+    def summary(self):
+        lines = []
+        for k, v in self.posterior.items():
+            v = np.asarray(v)
+            lines.append(
+                f"{k}: mean={v.mean(axis=(0, 1))}, rhat={self.rhat()[k]}")
+        div = np.asarray(self.sample_stats.get("diverging", np.zeros(1)))
+        lines.append(f"divergences: {int(div.sum())}")
+        return "\n".join(lines)
+
+
+def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
+                 random_seed=0, max_treedepth=10, verbose=False, **kwargs):
+    """NUTS posterior over a FitConfig's hyperparameters — the engine-level
+    analogue of pm.sample inside __fit (gpmcmc.py:351)."""
+    from ..gp import engine
+
+    rvpack, nlp = engine.build_objective(cfg)
+
+    def logp(z):
+        return -nlp(z)
+
+    z0 = rvpack.z0()
+    start = kwargs.pop("start", None)
+    if start is not None:
+        try:
+            z0 = rvpack.pack_values(start)
+        except (KeyError, TypeError):
+            pass
+    res = nuts_sample(
+        logp, z0, key=jax.random.PRNGKey(random_seed), num_warmup=tune,
+        num_samples=draws, num_chains=chains, target_accept=target_accept,
+        max_treedepth=max_treedepth)
+    zdraws = np.asarray(res["z"])  # (chains, draws, dim)
+    posterior = {}
+    for rv, off in zip(rvpack.rvs, rvpack.offsets):
+        block = zdraws[..., off : off + rv.size]
+        vals = np.asarray(rv.forward(jnp.asarray(block)))
+        posterior[rv.name] = vals[..., 0] if rv.size == 1 else vals
+    stats = {
+        "lp": np.asarray(res["lp"]),
+        "diverging": np.asarray(res["diverging"]),
+        "accept": np.asarray(res["accept"]),
+        "depth": np.asarray(res["depth"]),
+        "eps": np.asarray(res["eps"]),
+    }
+    data = MCMCData(posterior, stats)
+    if verbose:
+        print(data.summary())
+    return data

@@ -1,0 +1,103 @@
+"""NUTS sampler correctness: recovers known posteriors (moments, R-hat,
+ESS), handles correlated/ill-scaled targets via mass adaptation, and the
+GP-hyperparameter MCMC path works end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from andvaranaut_tpu.inference import nuts
+
+
+def _run(logp, dim, chains=4, draws=800, tune=800, seed=0):
+    return nuts.nuts_sample(
+        logp, jnp.zeros(dim), key=jax.random.PRNGKey(seed),
+        num_warmup=tune, num_samples=draws, num_chains=chains)
+
+
+def test_std_normal():
+    dim = 5
+
+    def logp(z):
+        return -0.5 * jnp.sum(z * z)
+
+    res = _run(logp, dim)
+    z = np.asarray(res["z"])  # (chains, draws, dim)
+    assert z.shape == (4, 800, dim)
+    assert abs(z.mean()) < 0.08
+    np.testing.assert_allclose(z.reshape(-1, dim).std(axis=0),
+                               np.ones(dim), atol=0.1)
+    rhat = nuts.split_rhat(z.reshape(4, 800, dim))
+    assert (rhat < 1.05).all(), rhat
+    assert np.asarray(res["diverging"]).mean() < 0.01
+
+
+def test_ill_scaled_gaussian_mass_adaptation():
+    # scales spanning 1e-2..1e1: requires diagonal mass adaptation
+    scales = jnp.asarray([0.01, 0.1, 1.0, 10.0])
+
+    def logp(z):
+        return -0.5 * jnp.sum((z / scales) ** 2)
+
+    res = _run(logp, 4, draws=1000, tune=1000)
+    z = np.asarray(res["z"]).reshape(-1, 4)
+    np.testing.assert_allclose(
+        z.std(axis=0), np.asarray(scales), rtol=0.15)
+
+
+def test_correlated_gaussian():
+    rho = 0.9
+    prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]]))
+    precj = jnp.asarray(prec)
+
+    def logp(z):
+        return -0.5 * z @ precj @ z
+
+    res = _run(logp, 2, draws=1500, tune=1000, seed=3)
+    z = np.asarray(res["z"]).reshape(-1, 2)
+    corr = np.corrcoef(z.T)[0, 1]
+    assert abs(corr - rho) < 0.05
+    np.testing.assert_allclose(z.std(axis=0), [1.0, 1.0], atol=0.12)
+
+
+def test_ess_and_rhat_sane():
+    def logp(z):
+        return -0.5 * jnp.sum(z * z)
+
+    res = _run(logp, 2, chains=4, draws=500, tune=500)
+    z = np.asarray(res["z"])
+    ess = nuts.ess_bulk(z[..., 0])
+    assert ess > 200, "NUTS on std normal should give high ESS"
+    # rhat on deliberately-unmixed fake draws should flag
+    fake = np.concatenate(
+        [np.random.randn(2, 500, 1), 5 + np.random.randn(2, 500, 1)])
+    assert (nuts.split_rhat(fake) > 1.5).all()
+
+
+def test_gp_hyper_mcmc(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from andvaranaut_tpu import GPMCMC, dists
+    import andvaranaut_tpu.transform as tf
+
+    def toy(x):
+        return np.array([x[0] ** 2 - x[0] - x[1] ** 2 * x[0] + x[1]])
+
+    priors = [dists.Uniform(0.0, 2.0), dists.Uniform(1.0, 0.5)]
+    g = GPMCMC(
+        nx=2, ny=1, priors=priors, target=toy,
+        xconrevs=[tf.uniform(priors[0]), tf.uniform(priors[1])],
+        verbose=False, rundir=str(tmp_path / "runs"))
+    g.sample(30, seed=5)
+    g.change_yconrevs([tf.meanstd(g.y[:, 0])])
+    data = g.fit(method="mcmc_mean", return_data=True, draws=200, tune=200,
+                 chains=2, random_seed=1)
+    assert g.hypers is not None
+    assert set(g.hypers) >= {"gv", "l", "kv"}
+    assert np.asarray(g.hypers["l"]).shape == (2,)
+    assert (np.asarray(data.sample_stats["lp"]) != 0).any()
+    # mcmc_map extraction + refinement path
+    g.fit(method="mcmc_map", draws=100, tune=200, chains=2, random_seed=2)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 0.05
