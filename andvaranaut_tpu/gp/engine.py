@@ -253,6 +253,30 @@ def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("kerns", "ops"))
+def chol_state(kerns, ops, xin, yin, l, kv, gv, alpha, jitter):
+    """One-time conditioning state: Cholesky of the noisy train Gram and
+    whitened targets.  Amortises BO/DE acquisition loops (the reference
+    re-conditions inside every gp.predict call)."""
+    n = xin.shape[0]
+    K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
+    K = K + jnp.eye(n) * (jitter + gv)
+    L = jnp.linalg.cholesky(K)
+    v = jax.scipy.linalg.solve_triangular(L, yin, lower=True)
+    return L, v
+
+
+@partial(jax.jit, static_argnames=("kerns", "ops"))
+def predict_from_chol(kerns, ops, xin, L, v, xnew, l, kv, gv, alpha):
+    """Predictive mean/var (pred_noise=True) from cached conditioning."""
+    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+    A = jax.scipy.linalg.solve_triangular(L, Kxs, lower=True)
+    mu = A.T @ v
+    kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
+    var = kss - jnp.sum(A * A, axis=0) + gv
+    return mu, var
+
+
+@partial(jax.jit, static_argnames=("kerns", "ops"))
 def predict_diag(kerns, ops, xin, yin, xnew, l, kv, gv, alpha, jitter):
     """Latent predictive mean/var with noise (pred_noise=True semantics)."""
     n = xin.shape[0]

@@ -504,6 +504,418 @@ class GPMCMC(LHC):
         plt.ylabel("Relative importance")
         plt.show()
 
+    # -- Bayesian optimisation (gpmcmc.py:601-906) ------------------------
+    def _prior_rv(self, k):
+        """Map prior k to an unconstrained RV (the scipy->pymc conversion of
+        gpmcmc.py:705-730 / 1053-1095, for our JAX dists)."""
+        from . import dists
+        from .inference.unconstrained import RV
+
+        d = self.priors[k]
+        if isinstance(d, dists.Uniform):
+            lo, hi = d.interval(1.0)
+            return RV(f"x{k}", 1, ("uniform", float(lo), float(hi)))
+        if isinstance(d, dists.Normal):
+            return RV(f"x{k}", 1, ("normal", float(d.loc), float(d.scale)))
+        if isinstance(d, dists.TruncNorm):
+            lo, hi = d.interval(1.0)
+            return RV(f"x{k}", 1, (
+                "truncnormal", float(d.loc), float(d.scale),
+                float(lo), float(hi)))
+        raise Exception(
+            "Prior distribution conversion not implemented for "
+            f"{type(d).__name__}")
+
+    def _is_zero_mean(self):
+        mref = getattr(self.mean, "__func__", self.mean)
+        return mref is GPMCMC.zero_mean or self.mean == self.zero_mean
+
+    def _acq_device(self, method, opt_type, normvar):
+        """Batched acquisition over raw x, fully on device (requires zero
+        mean function): (m, nx) -> (m,) to MINIMISE."""
+        if not self._is_zero_mean():
+            return None
+        gp = self.gp
+        l, kv, gv, alpha = engine.hypers_to_args(self.hypers, gp.noise)
+        xin = jnp.asarray(gp.xin)
+        L, v = engine.chol_state(
+            gp.kerns, gp.ops, xin, jnp.asarray(gp.yin), l, kv, gv, alpha,
+            gp.jitter)
+        conrevs = list(self.xconrevs)
+        yrev = self.yconrevs[0].rev
+        yopt = float(getattr(self, "yopt", 0.0))
+        kerns, ops = gp.kerns, gp.ops
+
+        def acq(X):
+            cols = [conrevs[i].con(X[:, i]) for i in range(self.nx)]
+            Xc = jnp.stack(cols, axis=1)
+            mu, var = engine.predict_from_chol(
+                kerns, ops, xin, L, v, Xc, l, kv, gv, alpha)
+            if method in ("eps-RS", "exploit"):
+                y, _ = quad.gh_stats(yrev, mu, var)
+                return y if opt_type == "min" else -y
+            if method == "explore":
+                y, yv = quad.gh_stats(yrev, mu, var, normvar=normvar)
+                return -yv
+            if method == "EI":
+                ei, _ = quad.gh_stats(
+                    yrev, mu, var, EI=True, EIopt=opt_type, yopt=yopt)
+                return -ei
+            raise Exception(
+                "method must be one of eps-RS ,EI, exploit, or explore")
+
+        return acq
+
+    def _acq_host(self, method, opt_type, normvar):
+        """Host-callable acquisition via self.predict (handles custom mean
+        functions) — mirrors the reference optf closures
+        (gpmcmc.py:650-674)."""
+
+        def optf(x):
+            x = np.asarray(x, dtype=float)
+            if x.ndim == 1:
+                x = np.array([x])
+            if method in ("eps-RS", "exploit"):
+                ym = self.predict(x)
+                return ym[:, 0] if opt_type == "min" else -ym[:, 0]
+            if method == "explore":
+                ym, yv = self.predict(x, return_var=True, normvar=normvar)
+                return -yv[:, 0]
+            if method == "EI":
+                ym = self.predict(x, EI=True, EIopt=opt_type)
+                return -ym[:, 0]
+            raise Exception(
+                "method must be one of eps-RS ,EI, exploit, or explore")
+
+        return optf
+
+    def _refine_nlp(self, method, opt_type, normvar, jitter):
+        """Unconstrained objective over the input point for the BO refine
+        stage (reference's fixed-hyper pm model, gpmcmc.py:699-860)."""
+        from .inference.unconstrained import RVPack
+
+        if not self._is_zero_mean():
+            raise Exception(
+                "BO refine/map optimisation requires the zero mean function "
+                "(the reference's symbolic path has the same restriction)")
+        rvpack = RVPack(tuple(self._prior_rv(k) for k in range(self.nx)))
+        gp = self.gp
+        l, kv, gv, alpha = engine.hypers_to_args(self.hypers, gp.noise)
+        xin = jnp.asarray(self.xc)
+        yin = jnp.asarray(self.yc[:, 0])
+        L, v = engine.chol_state(
+            gp.kerns, gp.ops, xin, yin, l, kv, gv, alpha, jitter)
+        yrev = self.yconrevs[0].rev
+        yopt = float(getattr(self, "yopt", 0.0))
+        conrevs = list(self.xconrevs)
+        kerns, ops = gp.kerns, gp.ops
+
+        def nlp(z):
+            vals = rvpack.unpack(z)
+            xrow = jnp.stack(
+                [vals[f"x{k}"][0] for k in range(self.nx)])
+            xc = jnp.stack(
+                [conrevs[k].con(xrow[k]) for k in range(self.nx)]
+            ).reshape(1, -1)
+            mu, var = engine.predict_from_chol(
+                kerns, ops, xin, L, v, xc, l, kv, gv, alpha)
+            if method in ("eps-RS", "exploit"):
+                y, _ = quad.gh_stats(yrev, mu, var)
+                pot = y[0] if opt_type == "max" else -y[0]
+            elif method == "explore":
+                y, yv = quad.gh_stats(yrev, mu, var, normvar=normvar)
+                pot = yv[0]
+            elif method == "EI":
+                ei, _ = quad.gh_stats(
+                    yrev, mu, var, EI=True, EIopt=opt_type, yopt=yopt)
+                pot = ei[0]
+            else:
+                raise Exception(
+                    "method must be one of eps-RS ,EI, exploit, or explore")
+            return -(pot + rvpack.log_prior(z))
+
+        return rvpack, nlp
+
+    def BO(self, opt_type="min", opt_method="predict", fit_method="map",
+           max_iter=16, method="EI", eps=0.1, iwgp=False, cwgp=False,
+           jitter=1e-6, conv=0.01, predict_samps=10000, normvar=True,
+           refine=True, **kwargs):
+        """Bayesian optimisation loop (reference gpmcmc.py:601-906).
+
+        opt_method: 'predict' (LHC argmin of the acquisition, optionally
+        refined by gradient ascent), 'DE' (on-device differential
+        evolution), 'map' (gradient ascent from a random start), or
+        'mcmc_map'/'mcmc_mean' (NUTS over the acquisition posterior).
+        """
+        from .inference import de as de_mod
+        from .inference.lbfgs import minimize_lbfgs
+
+        if self.ny > 1:
+            raise Exception(
+                "Bayesian minimisation only implemented for single output")
+        if opt_type == "max":
+            xoptf, yoptf = np.argmax, np.max
+        elif opt_type == "min":
+            xoptf, yoptf = np.argmin, np.min
+        else:
+            raise Exception(
+                "Error: opt_type argument must be one of max or min")
+        self.xopt = self.x[xoptf(self.y[:, 0]), :]
+        self.yopt = yoptf(self.y)
+
+        if self.verbose:
+            print("Running Bayesian minimisation...")
+            print(f"Current optima is {self.yopt} at x point {self.xopt}")
+        if self.m is None:
+            raise Exception(
+                "Model must be fitted before running Bayesian optimisation")
+        if method == "exploit":
+            eps = 0.0
+
+        lbs = np.array([float(p.ppf(1e-8)) for p in self.priors])
+        ubs = np.array([float(p.isf(1e-8)) for p in self.priors])
+
+        xsampold = np.array([[1e300 for _ in range(self.nx)]])
+        for i in range(max_iter):
+            if self.verbose:
+                print(f"Iteration {i + 1}")
+            xsamp = None
+
+            if opt_method in ("DE", "predict"):
+                roll = np.random.rand()
+                if method != "eps-RS" or roll > eps:
+                    if opt_method == "DE":
+                        acq = self._acq_device(method, opt_type, normvar)
+                        if acq is None:
+                            from scipy.optimize import (
+                                differential_evolution as scipy_de)
+
+                            optf = self._acq_host(method, opt_type, normvar)
+                            verb, self.verbose = self.verbose, False
+                            res = scipy_de(
+                                optf, list(zip(lbs, ubs)))
+                            self.verbose = verb
+                            xsamp = np.array([res.x])
+                            fopt = res.fun
+                        else:
+                            import jax as _jax
+
+                            xbest, fopt, _ = de_mod.differential_evolution(
+                                acq, jnp.asarray(lbs), jnp.asarray(ubs),
+                                _jax.random.PRNGKey(
+                                    np.random.randint(2**31 - 1)))
+                            xsamp = np.asarray(xbest)[None, :]
+                        if self.verbose:
+                            print(f"Function opt is {float(fopt):0.3f}")
+                    else:
+                        xsamps = self._LHC__latin_sample(predict_samps)
+                        acq = self._acq_device(method, opt_type, normvar)
+                        if acq is not None:
+                            ysamps = np.asarray(acq(jnp.asarray(xsamps)))
+                        else:
+                            ysamps = self._acq_host(
+                                method, opt_type, normvar)(xsamps)
+                        xsamp = np.array([xsamps[np.argmin(ysamps), :]])
+                        if self.verbose:
+                            print(f"Function opt is {np.min(ysamps):0.3f}")
+                else:
+                    xsamp = np.array(
+                        [[float(p.rvs()) for p in self.priors]])
+
+            if opt_method not in ("DE", "predict") or (
+                opt_method == "predict" and refine
+            ):
+                roll = np.random.rand()
+                if method != "eps-RS" or roll > eps:
+                    rvpack, nlp = self._refine_nlp(
+                        method, opt_type, normvar, jitter)
+                    if opt_method in ("map", "predict"):
+                        if opt_method == "map":
+                            z0 = jnp.asarray(
+                                np.random.normal(size=rvpack.total))
+                        else:
+                            if self.verbose:
+                                print(f"Refining {xsamp[0, :]}")
+                            z0 = rvpack.pack_values({
+                                f"x{k}": xsamp[0, k]
+                                for k in range(self.nx)})
+                        z, val, gnorm, _ = minimize_lbfgs(nlp, z0)
+                        vals = rvpack.unpack(z)
+                        xsamp = np.array([[
+                            float(np.asarray(vals[f"x{k}"])[0])
+                            for k in range(self.nx)]])
+                    elif opt_method in ("mcmc_map", "mcmc_mean"):
+                        from .inference import nuts as nuts_mod
+
+                        data = nuts_mod.sample_rvpack(
+                            rvpack, nlp, **kwargs)
+                        mp = (
+                            self.mean_extract(data)
+                            if opt_method == "mcmc_mean"
+                            else self.map_extract(data))
+                        xsamp = np.array([[
+                            float(np.asarray(mp[f"x{k}"]))
+                            for k in range(self.nx)]])
+                    else:
+                        raise Exception(
+                            "opt_method must be one of predict, DE, map, "
+                            "mcmc_map, or mcmc_mean")
+                elif xsamp is None:
+                    xsamp = np.array(
+                        [[float(p.rvs()) for p in self.priors]])
+
+            # convergence on relative x change (gpmcmc.py:862-873)
+            xdiff = np.sum(
+                np.abs(xsamp - xsampold) / np.abs(xsampold)) / self.nx
+            if xdiff < conv:
+                if self.verbose:
+                    print(
+                        f"Convergence at relative tolerance {xdiff} achieved "
+                        f"with point {xsamp}")
+                break
+            else:
+                if self.verbose and i > 0:
+                    print(f"Relative convergence in sample: {xdiff}")
+                xsampold = xsamp
+
+            ypred = self.predict(xsamp)
+            if self.verbose:
+                print(f"Predicted {ypred} at x point {xsamp}")
+
+            # evaluate target + mean, append to datasets (gpmcmc.py:875-895)
+            xsamp, ysamp = self._core__vector_solver(xsamp)
+            xm, ym = self._core__vector_solver(xsamp, self.mean)
+            self.x = np.r_[self.x, xsamp]
+            self.y = np.r_[self.y, ysamp]
+            self.xc = np.r_[self.xc, self.__xconrev__(xsamp)]
+            self.yc = np.r_[self.yc, self.__yconrev__(ysamp - ym)]
+            self.ym = np.r_[self.ym, ym]
+            self.nsamp = len(self.x)
+
+            if self.verbose:
+                print(f"New sample is {ysamp + ym} at x point {xsamp}")
+
+            self.xopt = self.x[xoptf(self.y[:, 0]), :]
+            self.yopt = yoptf(self.y)
+
+            # refit GP (warm start with cold fallback, gpmcmc.py:897-904)
+            if fit_method == "map":
+                try:
+                    self.fit(method=fit_method, iwgp=iwgp, cwgp=cwgp,
+                             start=self.hypers)
+                except Exception:
+                    self.fit(method=fit_method, iwgp=iwgp, cwgp=cwgp)
+            else:
+                self.fit(method=fit_method, iwgp=iwgp, cwgp=cwgp)
+
+        return self.xopt, self.yopt
+
+    # -- inverse Bayesian problem (gpmcmc.py:1039-1217) -------------------
+    def inverse_opt(self, yobs, yvarobs=None, method="map",
+                    evaluate_opt=False, jitter=1e-6, **kwargs):
+        """Posterior over unknown inputs given observed outputs, via a joint
+        GP over [training xc ; warped unknown x] with fixed fitted hypers.
+
+        Returns (data, xopt) or (data, xopt, ysamp) when evaluate_opt.
+        """
+        from .inference.lbfgs import minimize_lbfgs
+        from .inference.unconstrained import RVPack
+
+        if self.m is None:
+            raise Exception(
+                "Model must be fitted before running Bayesian optimisation")
+        if self.verbose:
+            print("Running Bayesian inverse solver...")
+
+        yobs = np.asarray(yobs, dtype=float).reshape(-1)
+        nobs = len(yobs)
+        rvpack = RVPack(tuple(self._prior_rv(k) for k in range(self.nx)))
+
+        gp = self.gp
+        l, kv, gv_, alpha = engine.hypers_to_args(self.hypers, gp.noise)
+        xc = jnp.asarray(self.xc)
+        kerns, ops = gp.kerns, gp.ops
+        conrevs = list(self.xconrevs)
+
+        # y vector and per-point noise variance (reference builds a noise
+        # *std* vector and adds it unsquared, gpmcmc.py:1137-1158 — we add
+        # variances, which is the correct GP algebra)
+        yin = np.concatenate([
+            self.yc[:, 0], np.asarray(self.yconrevs[0].con(yobs))])
+        noise_var = np.zeros(self.nsamp + nobs)
+        if self.noise:
+            noise_var[: self.nsamp] = float(np.asarray(self.hypers["gv"]))
+        if yvarobs is not None:
+            yvarobs = np.asarray(yvarobs, dtype=float).reshape(-1)
+            noise_var[self.nsamp :] = np.asarray(
+                quad.gh_var_inv(self.yconrevs[0].con, yobs, yvarobs))
+        noise_var = noise_var + jitter
+
+        # warping-Jacobian term (constant in x, kept for logp parity)
+        yfull = np.r_[self.y[:, 0], yobs]
+        yder = np.asarray(self.yconrevs[0].der(yfull))
+        ldj = float(np.sum(np.log(yder)))
+
+        yin_j = jnp.asarray(yin)
+        nv_j = jnp.asarray(noise_var)
+        ntot = self.nsamp + nobs
+
+        def nlp(z):
+            vals = rvpack.unpack(z)
+            xrow = jnp.stack([vals[f"x{k}"][0] for k in range(self.nx)])
+            xcrow = jnp.stack(
+                [conrevs[k].con(xrow[k]) for k in range(self.nx)])
+            xin = jnp.concatenate(
+                [xc, jnp.tile(xcrow, (nobs, 1))], axis=0)
+            K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
+            K = K + jnp.diag(nv_j)
+            logl = engine.chol_nlml(K, yin_j) + ldj
+            return -(logl + rvpack.log_prior(z))
+
+        if method == "map":
+            z0 = jnp.asarray(np.random.normal(size=rvpack.total))
+            z, val, gnorm, _ = minimize_lbfgs(nlp, z0)
+            vals = rvpack.unpack(z)
+            mp = {f"x{k}": np.asarray(vals[f"x{k}"])[0]
+                  for k in range(self.nx)}
+            data = None
+            if self.verbose:
+                print(f"MAP logp: {-float(val)}")
+        elif method in ("mcmc_mean", "mcmc_map"):
+            from .inference import nuts as nuts_mod
+
+            data = nuts_mod.sample_rvpack(rvpack, nlp, **kwargs)
+            if method == "mcmc_mean":
+                mp = self.mean_extract(data)
+            else:
+                mp = self.map_extract(data)
+        else:
+            raise Exception(
+                "method must be one of map, mcmc_map, or mcmc_mean")
+
+        xopt = np.zeros((1, self.nx))
+        for j in range(self.nx):
+            xopt[0, j] = float(np.asarray(mp[f"x{j}"]))
+
+        ypred = self.predict(xopt)
+        if self.verbose:
+            print(f"Predicted {ypred} at x point {xopt}")
+
+        if evaluate_opt:
+            xsamp, ysamp = self._core__vector_solver(xopt)
+            xm, ym = self._core__vector_solver(xopt, self.mean)
+            self.x = np.r_[self.x, xsamp]
+            self.y = np.r_[self.y, ysamp]
+            self.xc = np.r_[self.xc, self.__xconrev__(xsamp)]
+            self.yc = np.r_[self.yc, self.__yconrev__(ysamp - ym)]
+            self.ym = np.r_[self.ym, ym]
+            self.nsamp = len(self.x)
+            if self.verbose:
+                print(
+                    f"Actual evaluation is {ysamp + ym} at x point {xsamp}")
+            return data, xopt[0, :], ysamp[0]
+        return data, xopt[0, :]
+
     # -- conversion shortcuts (gpmcmc.py:909-929) -------------------------
     def __yconrev__(self, yin, mode="con"):
         yout = np.zeros_like(yin)

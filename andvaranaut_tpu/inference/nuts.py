@@ -520,24 +520,17 @@ class MCMCData:
         return "\n".join(lines)
 
 
-def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
-                 random_seed=0, max_treedepth=10, verbose=False, **kwargs):
-    """NUTS posterior over a FitConfig's hyperparameters — the engine-level
-    analogue of pm.sample inside __fit (gpmcmc.py:351)."""
-    from ..gp import engine
-
-    rvpack, nlp = engine.build_objective(cfg)
+def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
+                  target_accept=0.8, random_seed=0, max_treedepth=10,
+                  z0=None, verbose=False) -> "MCMCData":
+    """Run NUTS over an RVPack's unconstrained space and unpack draws into
+    constrained posterior arrays."""
 
     def logp(z):
-        return -nlp(z)
+        return -neg_log_post(z)
 
-    z0 = rvpack.z0()
-    start = kwargs.pop("start", None)
-    if start is not None:
-        try:
-            z0 = rvpack.pack_values(start)
-        except (KeyError, TypeError):
-            pass
+    if z0 is None:
+        z0 = rvpack.z0()
     res = nuts_sample(
         logp, z0, key=jax.random.PRNGKey(random_seed), num_warmup=tune,
         num_samples=draws, num_chains=chains, target_accept=target_accept,
@@ -559,3 +552,23 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
     if verbose:
         print(data.summary())
     return data
+
+
+def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
+                 random_seed=0, max_treedepth=10, verbose=False, **kwargs):
+    """NUTS posterior over a FitConfig's hyperparameters — the engine-level
+    analogue of pm.sample inside __fit (gpmcmc.py:351)."""
+    from ..gp import engine
+
+    rvpack, nlp = engine.build_objective(cfg)
+    z0 = rvpack.z0()
+    start = kwargs.pop("start", None)
+    if start is not None:
+        try:
+            z0 = rvpack.pack_values(start)
+        except (KeyError, TypeError):
+            pass
+    return sample_rvpack(
+        rvpack, nlp, draws=draws, tune=tune, chains=chains,
+        target_accept=target_accept, random_seed=random_seed,
+        max_treedepth=max_treedepth, z0=z0, verbose=verbose)

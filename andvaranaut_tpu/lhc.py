@@ -312,10 +312,16 @@ class _surrogate(LHC):
 
 class _none_conrev:
     """Identity conversion used for None conrev slots (reference
-    lhc.py:276-280)."""
+    lhc.py:276-280); `der` provided so inverse problems work without an
+    explicit output warping."""
 
     def con(self, x):
         return x
 
     def rev(self, x):
         return x
+
+    def der(self, x):
+        import numpy as _np
+
+        return _np.ones_like(_np.asarray(x, dtype=float))
