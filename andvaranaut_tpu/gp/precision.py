@@ -1,0 +1,224 @@
+"""Mixed-precision dense linear algebra for TPU.
+
+TPU has no native f64: XLA emulates it at ~17-65 GFLOP/s (measured on this
+chip) while the MXU runs bf16 matmuls at tens of TFLOP/s.  For the O(N^3)
+GP hot path (Gram, Cholesky trailing updates) we use *slice* arithmetic:
+split each f64 operand into bf16 mantissa slices (8 bits each), take the
+cross products on the MXU with f32 accumulation over K-chunks, and combine
+chunk results in f64.  With 4 slices and 512-wide chunks this yields
+~1e-7-grade matmuls at a large fraction of MXU speed — the "f64-emulated
+accumulation" design of SURVEY.md §7.
+
+`blocked_cholesky` is a right-looking blocked factorisation: diagonal
+panels in true (emulated) f64 — O(N b^2) work — and the O(N^3) trailing
+syrk updates through `slice_matmul`.  `blocked_solve_lower` implements the
+matching forward substitution.  Exact-f64 paths remain the default at
+small N and on CPU; precision='mixed' switches large-N fits onto this
+path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_NSLICES = 4
+DEFAULT_CHUNK_K = 512
+
+
+def _split_slices(A, nslices: int):
+    """A (f64/f32) ~= sum of bf16 slices with descending 8-bit mantissa
+    windows."""
+    slices = []
+    R = A
+    for _ in range(nslices):
+        s = R.astype(jnp.bfloat16)
+        slices.append(s)
+        R = R - s.astype(A.dtype)
+    return slices
+
+
+@partial(jax.jit, static_argnames=("nslices", "chunk_k"))
+def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
+                 chunk_k: int = DEFAULT_CHUNK_K):
+    """C = A @ B with near-f64 accuracy on the MXU.
+
+    All slice-pair products with i+j < nslices are exact in f32 (bf16
+    mantissas multiply exactly); accumulation error is limited by f32
+    chunk sums, recombined in f64 per chunk.
+    """
+    out_dtype = A.dtype
+    m, k = A.shape
+    k2, n = B.shape
+    kp = ((k + chunk_k - 1) // chunk_k) * chunk_k
+    if kp != k:
+        A = jnp.pad(A, ((0, 0), (0, kp - k)))
+        B = jnp.pad(B, ((0, kp - k), (0, 0)))
+    nchunks = kp // chunk_k
+    As = _split_slices(A, nslices)
+    Bs = _split_slices(B, nslices)
+    # (nchunks, m, chunk) and (nchunks, chunk, n) batches
+    Ac = [s.reshape(m, nchunks, chunk_k).transpose(1, 0, 2) for s in As]
+    Bc = [s.reshape(nchunks, chunk_k, n) for s in Bs]
+
+    C = jnp.zeros((m, n), dtype=out_dtype)
+    for i in range(nslices):
+        for j in range(nslices - i):
+            partialc = jax.lax.dot_general(
+                Ac[i], Bc[j],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (nchunks, m, n) f32, each chunk's f32 accumulation
+            C = C + jnp.sum(partialc.astype(out_dtype), axis=0)
+    return C
+
+
+@partial(jax.jit, static_argnames=("nslices", "chunk_k"))
+def slice_syrk(A, nslices: int = DEFAULT_NSLICES,
+               chunk_k: int = DEFAULT_CHUNK_K):
+    """A @ A.T via slice arithmetic."""
+    return slice_matmul(A, A.T, nslices=nslices, chunk_k=chunk_k)
+
+
+def _chol_f64(A):
+    return jnp.linalg.cholesky(A)
+
+
+def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
+                     nslices: int = DEFAULT_NSLICES):
+    """Right-looking blocked Cholesky.
+
+    Diagonal factorisations + small triangular inverses run in true f64
+    (O(N b^2) emulated work); the O(N^3) panel products and trailing syrk
+    updates run through slice_matmul when mixed=True.  Python loop over a
+    static number of blocks — compiled once per (N, block).
+    """
+    n = K.shape[0]
+    if n <= block:
+        return _chol_f64(K)
+    nb = -(-n // block)
+    npad = nb * block
+    if npad != n:
+        # pad with identity to keep the factorisation well-posed
+        Kp = jnp.eye(npad, dtype=K.dtype)
+        Kp = Kp.at[:n, :n].set(K)
+        K = Kp
+    mm = (
+        partial(slice_matmul, nslices=nslices) if mixed
+        else lambda a, b: a @ b
+    )
+
+    L = jnp.zeros_like(K)
+    A = K
+    for j in range(nb):
+        lo = j * block
+        hi = lo + block
+        Ajj = A[lo:hi, lo:hi]
+        Ljj = _chol_f64(Ajj)
+        L = L.at[lo:hi, lo:hi].set(Ljj)
+        if hi < A.shape[0]:
+            # panel: A[hi:, lo:hi] @ inv(Ljj)^T  (triangular inverse is a
+            # b x b f64 solve; the big product goes through the MXU)
+            Linv = jax.scipy.linalg.solve_triangular(
+                Ljj, jnp.eye(block, dtype=K.dtype), lower=True)
+            panel = mm(A[hi:, lo:hi], Linv.T)
+            L = L.at[hi:, lo:hi].set(panel)
+            A = A.at[hi:, hi:].add(-mm(panel, panel.T))
+    if npad != n:
+        L = L[:n, :n]
+    return L
+
+
+def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
+                        nslices: int = DEFAULT_NSLICES):
+    """Solve L x = b (L lower-triangular) by blocked forward substitution:
+    sequential f64 panel solves + MXU off-diagonal products."""
+    n = L.shape[0]
+    if n <= block:
+        return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    nb = -(-n // block)
+    mm = (
+        partial(slice_matmul, nslices=nslices) if mixed
+        else lambda a, c: a @ c
+    )
+    xs = []
+    r = b
+    for j in range(nb):
+        lo = j * block
+        hi = min(lo + block, n)
+        xj = jax.scipy.linalg.solve_triangular(
+            L[lo:hi, lo:hi], r[lo:hi], lower=True)
+        xs.append(xj)
+        if hi < n:
+            r = r.at[hi:].add(-mm(L[hi:, lo:hi], xj))
+    x = jnp.concatenate(xs, axis=0)
+    return x[:, 0] if squeeze else x
+
+
+def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
+                        nslices: int = DEFAULT_NSLICES):
+    """Solve L^T x = b by blocked backward substitution (L lower-tri)."""
+    n = L.shape[0]
+    if n <= block:
+        return jax.scipy.linalg.solve_triangular(
+            L, b, lower=True, trans=1)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    nb = -(-n // block)
+    mm = (
+        partial(slice_matmul, nslices=nslices) if mixed
+        else lambda a, c: a @ c
+    )
+    bounds = [(j * block, min((j + 1) * block, n)) for j in range(nb)]
+    xs = [None] * nb
+    r = b
+    for j in reversed(range(nb)):
+        lo, hi = bounds[j]
+        xs[j] = jax.scipy.linalg.solve_triangular(
+            L[lo:hi, lo:hi], r[lo:hi], lower=True, trans=1)
+        if j > 0:
+            r = r.at[:lo].add(-mm(L[lo:hi, :lo].T, xs[j]))
+    x = jnp.concatenate(xs, axis=0)
+    return x[:, 0] if squeeze else x
+
+
+def refined_chol_solve(L, K, y, block: int = 1024,
+                       nslices: int = DEFAULT_NSLICES, iters: int = 2):
+    """Solve K x = y through the mixed factorisation with iterative
+    refinement: residuals in true f64 (O(N^2), cheap) knock the
+    slice-arithmetic error down to f64 grade even at high condition
+    numbers."""
+
+    def solve(b):
+        z = blocked_solve_lower(L, b, block=block, nslices=nslices)
+        return blocked_solve_upper(L, z, block=block, nslices=nslices)
+
+    x = solve(y)
+    for _ in range(iters):
+        r = y - K @ x  # emulated-f64 GEMV: bandwidth-bound, negligible
+        x = x + solve(r)
+    return x
+
+
+def mixed_nlml(K, y, block: int = 1024, nslices: int = DEFAULT_NSLICES,
+               refine_iters: int = 2):
+    """Gaussian log marginal likelihood via the mixed-precision blocked
+    factorisation.  The quadratic form uses iteratively-refined solves; the
+    log-determinant comes from the factor diagonal."""
+    import math
+
+    L = blocked_cholesky(K, block=block, mixed=True, nslices=nslices)
+    x = refined_chol_solve(L, K, y, block=block, nslices=nslices,
+                           iters=refine_iters)
+    return (
+        -0.5 * jnp.dot(y, x)
+        - jnp.sum(jnp.log(jnp.diag(L)))
+        - 0.5 * y.shape[0] * math.log(2.0 * math.pi)
+    )

@@ -1,0 +1,81 @@
+"""Mixed-precision (bf16-slice) linear algebra accuracy tests.
+
+On CPU these validate the slice arithmetic itself (CPU matmuls of bf16
+slices accumulate in f32 just like the MXU path): slice_matmul must agree
+with f64 matmul to ~1e-7 relative, blocked Cholesky/solve to similar, and
+the mixed NLML to the 1e-6 parity budget."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from andvaranaut_tpu.gp import engine, precision
+
+
+def _spd(n, rng, cond=1e4):
+    A = rng.normal(size=(n, n))
+    Q, _ = np.linalg.qr(A)
+    eigs = np.logspace(0, -np.log10(cond), n)
+    return (Q * eigs) @ Q.T
+
+
+def test_slice_matmul_accuracy(rng):
+    A = rng.normal(size=(300, 700))
+    B = rng.normal(size=(700, 200))
+    C = np.asarray(precision.slice_matmul(jnp.asarray(A), jnp.asarray(B)))
+    C0 = A @ B
+    rel = np.abs(C - C0).max() / np.abs(C0).max()
+    assert rel < 2e-7, rel
+
+
+def test_slice_matmul_scale_invariance(rng):
+    A = rng.normal(size=(64, 128)) * 1e6
+    B = rng.normal(size=(128, 32)) * 1e-6
+    C = np.asarray(precision.slice_matmul(jnp.asarray(A), jnp.asarray(B)))
+    C0 = A @ B
+    rel = np.abs(C - C0).max() / np.abs(C0).max()
+    assert rel < 2e-7, rel
+
+
+def test_blocked_cholesky_matches_f64(rng):
+    n = 600
+    K = _spd(n, rng) + 1e-6 * np.eye(n)
+    L = np.asarray(precision.blocked_cholesky(jnp.asarray(K), block=256))
+    L0 = np.linalg.cholesky(K)
+    rel = np.abs(L - L0).max() / np.abs(L0).max()
+    assert rel < 1e-5, rel
+    # reconstruction error is the real criterion
+    rec = np.abs(L @ L.T - K).max() / np.abs(K).max()
+    assert rec < 5e-7, rec
+
+
+def test_blocked_cholesky_padding(rng):
+    # n not a multiple of block
+    n = 333
+    K = _spd(n, rng) + 1e-6 * np.eye(n)
+    L = np.asarray(precision.blocked_cholesky(jnp.asarray(K), block=128))
+    rec = np.abs(L @ L.T - K).max() / np.abs(K).max()
+    assert rec < 5e-7, rec
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_blocked_solve_lower(rng):
+    n = 500
+    K = _spd(n, rng) + 1e-3 * np.eye(n)
+    L0 = np.linalg.cholesky(K)
+    b = rng.normal(size=n)
+    x = np.asarray(precision.blocked_solve_lower(
+        jnp.asarray(L0), jnp.asarray(b), block=128))
+    x0 = np.linalg.solve(L0, b)
+    rel = np.abs(x - x0).max() / np.abs(x0).max()
+    assert rel < 1e-6, rel
+
+
+def test_mixed_nlml_parity(rng):
+    n = 700
+    K = _spd(n, rng, cond=1e6) + 1e-6 * np.eye(n)
+    y = rng.normal(size=n)
+    exact = float(engine.chol_nlml(jnp.asarray(K), jnp.asarray(y)))
+    mixed = float(precision.mixed_nlml(jnp.asarray(K), jnp.asarray(y),
+                                       block=256))
+    assert abs(mixed - exact) / abs(exact) < 1e-6, (mixed, exact)
