@@ -87,6 +87,43 @@ def _chol_f64(A):
     return jnp.linalg.cholesky(A)
 
 
+def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
+                    nslices: int = DEFAULT_NSLICES):
+    """Solve L x = b (or L^T x = b) to f64 grade without emulated-f64
+    triangular solves (pathologically slow on TPU): f32 solve + iterative
+    refinement with slice-matmul residuals."""
+    L32 = L.astype(jnp.float32)
+
+    def solve32(r):
+        return jax.scipy.linalg.solve_triangular(
+            L32, r.astype(jnp.float32), lower=True, trans=trans
+        ).astype(L.dtype)
+
+    op = (lambda v: slice_matmul(L.T, v, nslices=nslices)) if trans else (
+        lambda v: slice_matmul(L, v, nslices=nslices))
+    squeeze = b.ndim == 1
+    bm = b[:, None] if squeeze else b
+    x = solve32(bm)
+    for _ in range(iters):
+        r = bm - op(x)
+        x = x + solve32(r)
+    return x[:, 0] if squeeze else x
+
+
+def tri_inv_mixed(L, iters: int = 3, nslices: int = DEFAULT_NSLICES):
+    """Lower-triangular inverse to f64 grade: f32 triangular solve of the
+    identity, then Newton iterations X <- X(2I - LX) with slice matmuls."""
+    b = L.shape[0]
+    eye = jnp.eye(b, dtype=L.dtype)
+    X = jax.scipy.linalg.solve_triangular(
+        L.astype(jnp.float32), jnp.eye(b, dtype=jnp.float32), lower=True
+    ).astype(L.dtype)
+    for _ in range(iters):
+        E = eye - slice_matmul(L, X, nslices=nslices)
+        X = X + slice_matmul(X, E, nslices=nslices)
+    return jnp.tril(X)
+
+
 def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
                      nslices: int = DEFAULT_NSLICES):
     """Right-looking blocked Cholesky.
@@ -120,10 +157,12 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
         Ljj = _chol_f64(Ajj)
         L = L.at[lo:hi, lo:hi].set(Ljj)
         if hi < A.shape[0]:
-            # panel: A[hi:, lo:hi] @ inv(Ljj)^T  (triangular inverse is a
-            # b x b f64 solve; the big product goes through the MXU)
-            Linv = jax.scipy.linalg.solve_triangular(
-                Ljj, jnp.eye(block, dtype=K.dtype), lower=True)
+            # panel: A[hi:, lo:hi] @ inv(Ljj)^T  (refined mixed-precision
+            # triangular inverse; the big product goes through the MXU)
+            Linv = (
+                tri_inv_mixed(Ljj, nslices=nslices) if mixed
+                else jax.scipy.linalg.solve_triangular(
+                    Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
             panel = mm(A[hi:, lo:hi], Linv.T)
             L = L.at[hi:, lo:hi].set(panel)
             A = A.at[hi:, hi:].add(-mm(panel, panel.T))
@@ -138,7 +177,9 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
     sequential f64 panel solves + MXU off-diagonal products."""
     n = L.shape[0]
     if n <= block:
-        return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return (
+            tri_solve_mixed(L, b, nslices=nslices) if mixed
+            else jax.scipy.linalg.solve_triangular(L, b, lower=True))
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
@@ -147,13 +188,18 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
         partial(slice_matmul, nslices=nslices) if mixed
         else lambda a, c: a @ c
     )
+
+    def blk_solve(Lb, r):
+        return (
+            tri_solve_mixed(Lb, r, nslices=nslices) if mixed
+            else jax.scipy.linalg.solve_triangular(Lb, r, lower=True))
+
     xs = []
     r = b
     for j in range(nb):
         lo = j * block
         hi = min(lo + block, n)
-        xj = jax.scipy.linalg.solve_triangular(
-            L[lo:hi, lo:hi], r[lo:hi], lower=True)
+        xj = blk_solve(L[lo:hi, lo:hi], r[lo:hi])
         xs.append(xj)
         if hi < n:
             r = r.at[hi:].add(-mm(L[hi:, lo:hi], xj))
@@ -166,8 +212,9 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
     """Solve L^T x = b by blocked backward substitution (L lower-tri)."""
     n = L.shape[0]
     if n <= block:
-        return jax.scipy.linalg.solve_triangular(
-            L, b, lower=True, trans=1)
+        return (
+            tri_solve_mixed(L, b, trans=1, nslices=nslices) if mixed
+            else jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1))
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
@@ -176,13 +223,19 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
         partial(slice_matmul, nslices=nslices) if mixed
         else lambda a, c: a @ c
     )
+
+    def blk_solve_t(Lb, r):
+        return (
+            tri_solve_mixed(Lb, r, trans=1, nslices=nslices) if mixed
+            else jax.scipy.linalg.solve_triangular(
+                Lb, r, lower=True, trans=1))
+
     bounds = [(j * block, min((j + 1) * block, n)) for j in range(nb)]
     xs = [None] * nb
     r = b
     for j in reversed(range(nb)):
         lo, hi = bounds[j]
-        xs[j] = jax.scipy.linalg.solve_triangular(
-            L[lo:hi, lo:hi], r[lo:hi], lower=True, trans=1)
+        xs[j] = blk_solve_t(L[lo:hi, lo:hi], r[lo:hi])
         if j > 0:
             r = r.at[:lo].add(-mm(L[lo:hi, :lo].T, xs[j]))
     x = jnp.concatenate(xs, axis=0)
