@@ -16,6 +16,18 @@ import jax
 # Must happen before any jax array is created by this package.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA compile times for emulated-f64 and large
+# blocked programs on TPU run into minutes; caching amortises them across
+# processes/sessions.
+_cache_dir = os.environ.get(
+    "ANDVARANAUT_JAX_CACHE", os.path.expanduser("~/.cache/andvaranaut_jax"))
+try:  # pragma: no cover
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp  # noqa: E402
 
 #: dtype used for all probabilistic host/device math unless overridden.
