@@ -128,46 +128,60 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
                      nslices: int = DEFAULT_NSLICES):
     """Right-looking blocked Cholesky.
 
-    Diagonal factorisations + small triangular inverses run in true f64
-    (O(N b^2) emulated work); the O(N^3) panel products and trailing syrk
-    updates run through slice_matmul when mixed=True.  Python loop over a
-    static number of blocks — compiled once per (N, block).
+    Diagonal factorisations run in true f64 (cheap O(N b^2) emulated work);
+    the O(N^3) panel products and trailing syrk updates run through
+    slice_matmul when mixed=True.
+
+    Implemented as a lax.fori_loop over block columns with fixed-shape
+    masked full-height updates: XLA compiles ONE loop body regardless of
+    N/block (per-shape TPU compiles cost minutes on this platform; an
+    unrolled shrinking-trailing-matrix loop was prohibitively slow to
+    compile).  The masked updates cost ~3x the shrinking-loop FLOPs — a
+    good trade against MXU throughput.
     """
-    n = K.shape[0]
-    if n <= block:
+    n0 = K.shape[0]
+    if n0 <= block:
         return _chol_f64(K)
-    nb = -(-n // block)
-    npad = nb * block
-    if npad != n:
+    nb = -(-n0 // block)
+    n = nb * block
+    if n != n0:
         # pad with identity to keep the factorisation well-posed
-        Kp = jnp.eye(npad, dtype=K.dtype)
-        Kp = Kp.at[:n, :n].set(K)
+        Kp = jnp.eye(n, dtype=K.dtype)
+        Kp = Kp.at[:n0, :n0].set(K)
         K = Kp
     mm = (
         partial(slice_matmul, nslices=nslices) if mixed
         else lambda a, b: a @ b
     )
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    L = jnp.zeros_like(K)
-    A = K
-    for j in range(nb):
+    def body(j, carry):
+        A, L = carry
         lo = j * block
-        hi = lo + block
-        Ajj = A[lo:hi, lo:hi]
+        Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
         Ljj = _chol_f64(Ajj)
-        L = L.at[lo:hi, lo:hi].set(Ljj)
-        if hi < A.shape[0]:
-            # panel: A[hi:, lo:hi] @ inv(Ljj)^T  (refined mixed-precision
-            # triangular inverse; the big product goes through the MXU)
-            Linv = (
-                tri_inv_mixed(Ljj, nslices=nslices) if mixed
-                else jax.scipy.linalg.solve_triangular(
-                    Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
-            panel = mm(A[hi:, lo:hi], Linv.T)
-            L = L.at[hi:, lo:hi].set(panel)
-            A = A.at[hi:, hi:].add(-mm(panel, panel.T))
-    if npad != n:
-        L = L[:n, :n]
+        Linv = (
+            tri_inv_mixed(Ljj, nslices=nslices) if mixed
+            else jax.scipy.linalg.solve_triangular(
+                Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
+        cols = jax.lax.dynamic_slice(A, (0, lo), (n, block))
+        below = row_idx >= lo + block
+        panel = jnp.where(below, mm(cols, Linv.T), 0.0)
+        # column block of L: Ljj on the diagonal rows, panel below
+        Lcol = jax.lax.dynamic_update_slice(
+            panel, Ljj, (lo, jnp.zeros_like(lo)))
+        L = jax.lax.dynamic_update_slice(L, Lcol, (0, lo))
+        # trailing syrk; masked panel rows make this a no-op outside the
+        # trailing submatrix
+        A = A - mm(panel, panel.T)
+        return A, L
+
+    A0 = K
+    L0 = jnp.zeros_like(K)
+    _, L = jax.lax.fori_loop(0, nb, body, (A0, L0))
+    L = jnp.tril(L)
+    if n != n0:
+        L = L[:n0, :n0]
     return L
 
 
@@ -176,14 +190,15 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
     """Solve L x = b (L lower-triangular) by blocked forward substitution:
     sequential f64 panel solves + MXU off-diagonal products."""
     n = L.shape[0]
-    if n <= block:
+    if n <= block or n % block != 0:
         return (
             tri_solve_mixed(L, b, nslices=nslices) if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True))
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
-    nb = -(-n // block)
+    k = b.shape[1]
+    nb = n // block
     mm = (
         partial(slice_matmul, nslices=nslices) if mixed
         else lambda a, c: a @ c
@@ -194,16 +209,22 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
             tri_solve_mixed(Lb, r, nslices=nslices) if mixed
             else jax.scipy.linalg.solve_triangular(Lb, r, lower=True))
 
-    xs = []
-    r = b
-    for j in range(nb):
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(j, carry):
+        r, x = carry
         lo = j * block
-        hi = min(lo + block, n)
-        xj = blk_solve(L[lo:hi, lo:hi], r[lo:hi])
-        xs.append(xj)
-        if hi < n:
-            r = r.at[hi:].add(-mm(L[hi:, lo:hi], xj))
-    x = jnp.concatenate(xs, axis=0)
+        Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
+        rblk = jax.lax.dynamic_slice(r, (lo, 0), (block, k))
+        xj = blk_solve(Lblk, rblk)
+        x = jax.lax.dynamic_update_slice(x, xj, (lo, 0))
+        Lcol = jnp.where(
+            row_idx >= lo + block,
+            jax.lax.dynamic_slice(L, (0, lo), (n, block)), 0.0)
+        r = r - mm(Lcol, xj)
+        return r, x
+
+    _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))
     return x[:, 0] if squeeze else x
 
 
@@ -211,14 +232,15 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
                         nslices: int = DEFAULT_NSLICES):
     """Solve L^T x = b by blocked backward substitution (L lower-tri)."""
     n = L.shape[0]
-    if n <= block:
+    if n <= block or n % block != 0:
         return (
             tri_solve_mixed(L, b, trans=1, nslices=nslices) if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1))
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
-    nb = -(-n // block)
+    k = b.shape[1]
+    nb = n // block
     mm = (
         partial(slice_matmul, nslices=nslices) if mixed
         else lambda a, c: a @ c
@@ -230,15 +252,26 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
             else jax.scipy.linalg.solve_triangular(
                 Lb, r, lower=True, trans=1))
 
-    bounds = [(j * block, min((j + 1) * block, n)) for j in range(nb)]
-    xs = [None] * nb
-    r = b
-    for j in reversed(range(nb)):
-        lo, hi = bounds[j]
-        xs[j] = blk_solve_t(L[lo:hi, lo:hi], r[lo:hi])
-        if j > 0:
-            r = r.at[:lo].add(-mm(L[lo:hi, :lo].T, xs[j]))
-    x = jnp.concatenate(xs, axis=0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(jj, carry):
+        r, x = carry
+        j = nb - 1 - jj
+        lo = j * block
+        Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
+        rblk = jax.lax.dynamic_slice(r, (lo, 0), (block, k))
+        xj = blk_solve_t(Lblk, rblk)
+        x = jax.lax.dynamic_update_slice(x, xj, (lo, 0))
+        # propagate to rows above: r[:lo] -= L[lo:hi, :lo]^T @ xj; mask rows
+        # >= lo of the (transposed) row panel to zero
+        Lrow = jnp.where(
+            row_idx >= lo,
+            0.0,
+            jax.lax.dynamic_slice(L, (lo, 0), (block, n)).T)
+        r = r - mm(Lrow, xj)
+        return r, x
+
+    _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))
     return x[:, 0] if squeeze else x
 
 
