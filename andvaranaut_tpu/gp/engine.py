@@ -211,6 +211,83 @@ def build_objective(cfg: FitConfig):
     return rvpack, neg_log_post
 
 
+def round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_mask_gram(kerns, ops, xin, valid, l, kv, alpha, gv, jitter):
+    """Gram over padded inputs with phantom rows replaced by an identity
+    block: K_pad = diag(K_real + (jitter+gv) I, I), so padded NLML terms
+    contribute exactly zero (log 1 diag, zero quadratic form)."""
+    npad = xin.shape[0]
+    K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
+    vv = valid.astype(K.dtype)
+    K = K * (vv[:, None] * vv[None, :])
+    K = K + jnp.diag(1.0 - vv) + jnp.eye(npad, dtype=K.dtype) * (
+        (jitter + gv) * 1.0) * jnp.diag(vv).sum() / jnp.diag(vv).sum()
+    # note: jitter+gv must apply to REAL rows only
+    K = K - jnp.eye(npad, dtype=K.dtype) * (jitter + gv) * (1.0 - vv)
+    return K
+
+
+def make_fit_program(kerns, ops, noise: bool, truncate: bool, jitter: float,
+                     nx: int, max_iter: int = 500, tol: float = 1e-8):
+    """Shape-polymorphic MAP program for the plain (non-learnable-warping)
+    path: one compiled executable per (spec, padded-shape) bucket, reused
+    across BO-loop refits and dataset growth (SURVEY.md §7 hard part 5).
+
+    Returns (rvpack, run) with run(z0, xin, yin, valid, nreal) -> (z, val);
+    xin/yin are padded to the bucket size with `valid` marking real rows.
+    """
+    from ..inference.lbfgs import minimize_lbfgs
+
+    cfg_rvs = FitConfig(
+        kerns=kerns, ops=ops, noise=noise, truncate=truncate, jitter=jitter,
+        iwgp=False, cwgp=False, priors=[None] * nx, xconrevs=[None] * nx,
+        yconrevs=[None], x=np.zeros((1, nx)), y=np.zeros((1, 1)))
+    rvpack = build_rvs(cfg_rvs)
+
+    def nlp(z, xin, yin, valid, nreal):
+        vals = rvpack.unpack(z)
+        gv = vals["gv"][0] if noise else 0.0
+        l = vals["l"]
+        kv = vals["kv"]
+        alpha = vals["alpha"][0] if "alpha" in vals else None
+        npad = xin.shape[0]
+        K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
+        vv = valid.astype(K.dtype)
+        K = K * (vv[:, None] * vv[None, :])
+        K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
+        L = jnp.linalg.cholesky(K)
+        beta = jax.scipy.linalg.solve_triangular(L, yin, lower=True)
+        logl = (
+            -0.5 * jnp.dot(beta, beta)
+            - jnp.sum(jnp.log(jnp.diag(L)))
+            - 0.5 * nreal * _LOG_2PI
+        )
+        return -(logl + rvpack.log_prior(z))
+
+    @jax.jit
+    def run(z0, xin, yin, valid, nreal):
+        fun = lambda z: nlp(z, xin, yin, valid, nreal)  # noqa: E731
+        z, val, gnorm, niter = minimize_lbfgs(
+            fun, z0, max_iter=max_iter, tol=tol)
+        return z, val
+
+    return rvpack, run
+
+
+def pad_data(xin, yin, bucket: int = 32):
+    """Pad converted data to the next bucket multiple with phantom rows."""
+    n = xin.shape[0]
+    npad = round_up(max(n, 1), bucket)
+    valid = jnp.arange(npad) < n
+    if npad != n:
+        xin = jnp.pad(jnp.asarray(xin), ((0, npad - n), (0, 0)))
+        yin = jnp.pad(jnp.asarray(yin), (0, npad - n))
+    return jnp.asarray(xin), jnp.asarray(yin), valid
+
+
 def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
             seed: int = 0, max_iter: int = 500, tol: float = 1e-8):
     """MAP fit with restarts (random unconstrained-space starts — the

@@ -60,19 +60,28 @@ def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
     nchunks = kp // chunk_k
     As = _split_slices(A, nslices)
     Bs = _split_slices(B, nslices)
-    # (nchunks, m, chunk) and (nchunks, chunk, n) batches
-    Ac = [s.reshape(m, nchunks, chunk_k).transpose(1, 0, 2) for s in As]
-    Bc = [s.reshape(nchunks, chunk_k, n) for s in Bs]
+    # (nchunks, nslices, m, ck) / (nchunks, nslices, ck, n); scanned over
+    # chunks with an f64 accumulator so peak temp memory is one (m, n) f32
+    # tile rather than the full (nchunks, m, n) batch.
+    Ac = jnp.stack(
+        [s.reshape(m, nchunks, chunk_k).transpose(1, 0, 2) for s in As],
+        axis=1)
+    Bc = jnp.stack([s.reshape(nchunks, chunk_k, n) for s in Bs], axis=1)
 
-    C = jnp.zeros((m, n), dtype=out_dtype)
-    for i in range(nslices):
-        for j in range(nslices - i):
-            partialc = jax.lax.dot_general(
-                Ac[i], Bc[j],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (nchunks, m, n) f32, each chunk's f32 accumulation
-            C = C + jnp.sum(partialc.astype(out_dtype), axis=0)
+    def body(C, xs):
+        a, b = xs  # (nslices, m, ck), (nslices, ck, n)
+        for i in range(nslices):
+            for j in range(nslices - i):
+                p = jax.lax.dot_general(
+                    a[i], b[j],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                C = C + p.astype(out_dtype)
+        return C, None
+
+    C, _ = jax.lax.scan(
+        body, jnp.zeros((m, n), dtype=out_dtype), (Ac, Bc))
     return C
 
 
