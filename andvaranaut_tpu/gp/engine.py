@@ -288,14 +288,57 @@ def pad_data(xin, yin, bucket: int = 32):
     return jnp.asarray(xin), jnp.asarray(yin), valid
 
 
+_FIT_PROGRAMS: dict = {}
+
+
+def get_fit_program(kerns, ops, noise, truncate, jitter, nx,
+                    max_iter: int = 500, tol: float = 1e-8):
+    """Process-level cache of compiled plain-path MAP programs, keyed by
+    model spec (shapes handled by jit)."""
+    key = (tuple(kerns), tuple(ops), bool(noise), bool(truncate),
+           float(jitter), int(nx), int(max_iter), float(tol))
+    if key not in _FIT_PROGRAMS:
+        _FIT_PROGRAMS[key] = make_fit_program(
+            tuple(kerns), tuple(ops), bool(noise), bool(truncate),
+            float(jitter), int(nx), max_iter=max_iter, tol=tol)
+    return _FIT_PROGRAMS[key]
+
+
 def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
             seed: int = 0, max_iter: int = 500, tol: float = 1e-8):
     """MAP fit with restarts (random unconstrained-space starts — the
     reference intended this but never passed `start`, gpmcmc.py:330; fixed).
 
     Returns (hypers dict constrained numpy, logpost float).
+
+    The plain path (no learnable warpings) runs through a cached
+    shape-bucketed program: dataset growth in BO loops re-uses the compiled
+    executable instead of recompiling per fit.
     """
-    rvpack, nlp = build_objective(cfg)
+    plain = not cfg.iwgp and not cfg.cwgp
+    if plain:
+        nx = cfg.x.shape[1]
+        n = cfg.x.shape[0]
+        xin = np.zeros((n, nx))
+        for i in range(nx):
+            xin[:, i] = np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
+        yin = np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
+        xin_p, yin_p, valid = pad_data(xin, yin)
+        rvpack, run = get_fit_program(
+            cfg.kerns, cfg.ops, cfg.noise, cfg.truncate, cfg.jitter, nx,
+            max_iter=max_iter, tol=tol)
+        nreal = jnp.asarray(float(n))
+
+        def attempt(zr):
+            return run(zr, xin_p, yin_p, valid, nreal)
+    else:
+        rvpack, nlp = build_objective(cfg)
+
+        def attempt(zr):
+            z, val, gnorm, niter = minimize_lbfgs(
+                nlp, zr, max_iter=max_iter, tol=tol)
+            return z, val
+
     if start is not None:
         try:
             z0 = rvpack.pack_values(start)
@@ -309,8 +352,7 @@ def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
     for r in range(max(1, restarts)):
         zr = z0 if r == 0 else jnp.asarray(
             rng.normal(size=rvpack.total))
-        z, val, gnorm, niter = minimize_lbfgs(
-            nlp, zr, max_iter=max_iter, tol=tol)
+        z, val = attempt(zr)
         val = float(val)
         if np.isfinite(val) and val < best_val:
             best_val, best_z = val, z
@@ -328,6 +370,33 @@ def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
 # ---------------------------------------------------------------------------
 # Prediction
 # ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("kerns", "ops"))
+def chol_state_masked(kerns, ops, xin, yin, valid, l, kv, gv, alpha, jitter):
+    """Conditioning state over bucket-padded data: phantom rows form an
+    identity block, so solves and predictions are exactly those of the real
+    rows while the compiled shape stays fixed as the dataset grows."""
+    npad = xin.shape[0]
+    K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
+    vv = valid.astype(K.dtype)
+    K = K * (vv[:, None] * vv[None, :])
+    K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
+    L = jnp.linalg.cholesky(K)
+    v = jax.scipy.linalg.solve_triangular(L, yin, lower=True)
+    return L, v
+
+
+@partial(jax.jit, static_argnames=("kerns", "ops"))
+def predict_from_chol_masked(kerns, ops, xin, valid, L, v, xnew, l, kv, gv,
+                             alpha):
+    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+    Kxs = Kxs * valid.astype(Kxs.dtype)[:, None]
+    A = jax.scipy.linalg.solve_triangular(L, Kxs, lower=True)
+    mu = A.T @ v
+    kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
+    var = kss - jnp.sum(A * A, axis=0) + gv
+    return mu, var
+
 
 @partial(jax.jit, static_argnames=("kerns", "ops"))
 def chol_state(kerns, ops, xin, yin, l, kv, gv, alpha, jitter):

@@ -164,8 +164,10 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
     )
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    def body(j, carry):
-        A, L = carry
+    def body(j, A):
+        # in-place factorisation: finished L columns live in A's lower
+        # triangle (single carry — two full f64 carries OOM at N=16k on a
+        # 16G-HBM chip once XLA double-buffers the emulated-f64 planes)
         lo = j * block
         Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
         Ljj = _chol_f64(Ajj)
@@ -176,19 +178,16 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
         cols = jax.lax.dynamic_slice(A, (0, lo), (n, block))
         below = row_idx >= lo + block
         panel = jnp.where(below, mm(cols, Linv.T), 0.0)
-        # column block of L: Ljj on the diagonal rows, panel below
-        Lcol = jax.lax.dynamic_update_slice(
-            panel, Ljj, (lo, jnp.zeros_like(lo)))
-        L = jax.lax.dynamic_update_slice(L, Lcol, (0, lo))
         # trailing syrk; masked panel rows make this a no-op outside the
         # trailing submatrix
         A = A - mm(panel, panel.T)
-        return A, L
+        # write the finished column block (diagonal + sub-diagonal panel)
+        Lcol = jax.lax.dynamic_update_slice(panel, Ljj, (lo, 0))
+        A = jax.lax.dynamic_update_slice(A, Lcol, (0, lo))
+        return A
 
-    A0 = K
-    L0 = jnp.zeros_like(K)
-    _, L = jax.lax.fori_loop(0, nb, body, (A0, L0))
-    L = jnp.tril(L)
+    A = jax.lax.fori_loop(0, nb, body, K)
+    L = jnp.tril(A)
     if n != n0:
         L = L[:n0, :n0]
     return L

@@ -27,7 +27,13 @@ __all__ = ["GPMCMC"]
 class GPState:
     """Fitted surrogate state: converted data bound to hyperparameters
     (the analogue of the reference's rebuilt pm.gp.Marginal,
-    gpmcmc.py:386-399)."""
+    gpmcmc.py:386-399).
+
+    Data is bucket-padded with phantom identity rows so the compiled
+    conditioning/prediction programs are reused as the dataset grows
+    (per-shape TPU compiles cost minutes; SURVEY.md §7 hard part 5)."""
+
+    BUCKET = 32
 
     def __init__(self, kerns, ops, noise, jitter, xin, yin, hypers):
         self.kerns = tuple(kerns)
@@ -37,14 +43,42 @@ class GPState:
         self.xin = np.asarray(xin)
         self.yin = np.asarray(yin)
         self.hypers = hypers
+        self._cache = {}
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_cache"] = {}
+        return d
+
+    def padded(self):
+        return engine.pad_data(self.xin, self.yin, self.BUCKET)
+
+    def hyper_args(self):
+        return engine.hypers_to_args(self.hypers, self.noise)
+
+    def chol(self, jitter=None):
+        """Cached conditioning state (L, v) over padded data."""
+        j = self.jitter if jitter is None else jitter
+        if j not in self._cache:
+            l, kv, gv, alpha = self.hyper_args()
+            xin_p, yin_p, valid = self.padded()
+            L, v = engine.chol_state_masked(
+                self.kerns, self.ops, xin_p, yin_p, valid, l, kv, gv,
+                alpha, j)
+            self._cache[j] = (L, v, xin_p, valid)
+        return self._cache[j]
 
     def predict(self, xnew, jitter=None):
-        l, kv, gv, alpha = engine.hypers_to_args(self.hypers, self.noise)
-        mu, var = engine.predict_diag(
-            self.kerns, self.ops, jnp.asarray(self.xin),
-            jnp.asarray(self.yin), jnp.asarray(xnew), l, kv, gv, alpha,
-            self.jitter if jitter is None else jitter)
-        return np.asarray(mu), np.asarray(var)
+        l, kv, gv, alpha = self.hyper_args()
+        L, v, xin_p, valid = self.chol(jitter)
+        m = xnew.shape[0]
+        mpad = engine.round_up(max(m, 1), self.BUCKET)
+        xq = jnp.asarray(xnew)
+        if mpad != m:
+            xq = jnp.pad(xq, ((0, mpad - m), (0, 0)))
+        mu, var = engine.predict_from_chol_masked(
+            self.kerns, self.ops, xin_p, valid, L, v, xq, l, kv, gv, alpha)
+        return np.asarray(mu[:m]), np.asarray(var[:m])
 
 
 class GPMCMC(LHC):
