@@ -296,7 +296,10 @@ def refined_chol_solve(L, K, y, block: int = 1024,
 
     x = solve(y)
     for _ in range(iters):
-        r = y - K @ x  # emulated-f64 GEMV: bandwidth-bound, negligible
+        # True-f64 residual as an elementwise broadcast-reduce: XLA's
+        # emulated-f64 dot_general materialises O(N^2) f32 component
+        # matrices (OOM at 16k); the elementwise form fuses.
+        r = y - jnp.sum(K * x[None, :], axis=1)
         x = x + solve(r)
     return x
 

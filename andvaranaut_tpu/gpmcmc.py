@@ -14,6 +14,7 @@ from __future__ import annotations
 import copy
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import transform as tflib
@@ -564,27 +565,34 @@ class GPMCMC(LHC):
         mref = getattr(self.mean, "__func__", self.mean)
         return mref is GPMCMC.zero_mean or self.mean == self.zero_mean
 
-    def _acq_device(self, method, opt_type, normvar):
-        """Batched acquisition over raw x, fully on device (requires zero
-        mean function): (m, nx) -> (m,) to MINIMISE."""
-        if not self._is_zero_mean():
-            return None
-        gp = self.gp
-        l, kv, gv, alpha = engine.hypers_to_args(self.hypers, gp.noise)
-        xin = jnp.asarray(gp.xin)
-        L, v = engine.chol_state(
-            gp.kerns, gp.ops, xin, jnp.asarray(gp.yin), l, kv, gv, alpha,
-            gp.jitter)
+    def _bo_state_args(self, jitter):
+        """Padded conditioning state for the CURRENT converted dataset —
+        recomputed cheaply each BO iteration through shape-stable compiled
+        programs."""
+        l, kv, gv, alpha = engine.hypers_to_args(self.hypers, self.noise)
+        has_alpha = alpha is not None
+        xin_p, yin_p, valid = engine.pad_data(
+            self.xc, self.yc[:, 0], GPState.BUCKET)
+        L, v = engine.chol_state_masked(
+            tuple(self.kerns), tuple(self.ops), xin_p, yin_p, valid, l, kv,
+            gv, alpha, jitter)
+        alpha_arg = alpha if has_alpha else jnp.asarray(0.0)
+        return (xin_p, valid, L, v, l, kv, gv, alpha_arg), has_alpha
+
+    def _acq_fn(self, method, opt_type, normvar, has_alpha):
+        """Pure batched acquisition: (X, *state args, yopt) -> values to
+        MINIMISE; closes only over static config + transform objects."""
         conrevs = list(self.xconrevs)
         yrev = self.yconrevs[0].rev
-        yopt = float(getattr(self, "yopt", 0.0))
-        kerns, ops = gp.kerns, gp.ops
+        kerns, ops = tuple(self.kerns), tuple(self.ops)
+        nx = self.nx
 
-        def acq(X):
-            cols = [conrevs[i].con(X[:, i]) for i in range(self.nx)]
+        def acq(X, xin_p, valid, L, v, l, kv, gv, alpha, yopt):
+            cols = [conrevs[i].con(X[:, i]) for i in range(nx)]
             Xc = jnp.stack(cols, axis=1)
-            mu, var = engine.predict_from_chol(
-                kerns, ops, xin, L, v, Xc, l, kv, gv, alpha)
+            mu, var = engine.predict_from_chol_masked(
+                kerns, ops, xin_p, valid, L, v, Xc, l, kv, gv,
+                alpha if has_alpha else None)
             if method in ("eps-RS", "exploit"):
                 y, _ = quad.gh_stats(yrev, mu, var)
                 return y if opt_type == "min" else -y
@@ -599,6 +607,57 @@ class GPMCMC(LHC):
                 "method must be one of eps-RS ,EI, exploit, or explore")
 
         return acq
+
+    def _get_bo_program(self, kind, method, opt_type, normvar, has_alpha):
+        """Jitted BO programs cached per (kind, acquisition, model spec,
+        transform identity, data bucket) so BO iterations re-use compiled
+        executables (a fresh trace per iteration costs ~a minute of XLA
+        compile on TPU)."""
+        key = (
+            kind, method, opt_type, bool(normvar), self.kernel, self.noise,
+            tuple(id(c) for c in self.xconrevs), id(self.yconrevs[0]),
+            engine.round_up(max(len(self.xc), 1), GPState.BUCKET),
+            has_alpha)
+        cache = self.__dict__.setdefault("_bo_cache", {})
+        if key in cache:
+            return cache[key]
+        acq = self._acq_fn(method, opt_type, normvar, has_alpha)
+        if kind == "batch":
+            run = jax.jit(acq)
+        elif kind == "de":
+            from .inference import de as de_mod
+
+            @jax.jit
+            def run(keyrng, lo, hi, *sargs):
+                return de_mod.differential_evolution(
+                    lambda X: acq(X, *sargs), lo, hi, keyrng)
+        elif kind == "refine":
+            from .inference.lbfgs import minimize_lbfgs
+            from .inference.unconstrained import RVPack
+
+            rvpack = RVPack(
+                tuple(self._prior_rv(k) for k in range(self.nx)))
+
+            @jax.jit
+            def run(z0, *sargs):
+                def nlp(z):
+                    vals = rvpack.unpack(z)
+                    xrow = jnp.stack(
+                        [vals[f"x{k}"][0] for k in range(self.nx)])
+                    val = acq(xrow[None, :], *sargs)[0]
+                    return val - rvpack.log_prior(z)
+
+                z, val, gnorm, niter = minimize_lbfgs(nlp, z0)
+                return z, val
+
+            run = (run, rvpack)
+        cache[key] = run
+        return run
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d.pop("_bo_cache", None)
+        return d
 
     def _acq_host(self, method, opt_type, normvar):
         """Host-callable acquisition via self.predict (handles custom mean
@@ -718,9 +777,12 @@ class GPMCMC(LHC):
             if opt_method in ("DE", "predict"):
                 roll = np.random.rand()
                 if method != "eps-RS" or roll > eps:
+                    on_device = self._is_zero_mean()
+                    if on_device:
+                        sargs, has_alpha = self._bo_state_args(jitter)
+                        yopt_j = jnp.asarray(float(self.yopt))
                     if opt_method == "DE":
-                        acq = self._acq_device(method, opt_type, normvar)
-                        if acq is None:
+                        if not on_device:
                             from scipy.optimize import (
                                 differential_evolution as scipy_de)
 
@@ -732,20 +794,24 @@ class GPMCMC(LHC):
                             xsamp = np.array([res.x])
                             fopt = res.fun
                         else:
-                            import jax as _jax
-
-                            xbest, fopt, _ = de_mod.differential_evolution(
-                                acq, jnp.asarray(lbs), jnp.asarray(ubs),
-                                _jax.random.PRNGKey(
-                                    np.random.randint(2**31 - 1)))
+                            run = self._get_bo_program(
+                                "de", method, opt_type, normvar, has_alpha)
+                            xbest, fopt, _ = run(
+                                jax.random.PRNGKey(
+                                    np.random.randint(2**31 - 1)),
+                                jnp.asarray(lbs), jnp.asarray(ubs),
+                                *sargs, yopt_j)
                             xsamp = np.asarray(xbest)[None, :]
                         if self.verbose:
                             print(f"Function opt is {float(fopt):0.3f}")
                     else:
                         xsamps = self._LHC__latin_sample(predict_samps)
-                        acq = self._acq_device(method, opt_type, normvar)
-                        if acq is not None:
-                            ysamps = np.asarray(acq(jnp.asarray(xsamps)))
+                        if on_device:
+                            run = self._get_bo_program(
+                                "batch", method, opt_type, normvar,
+                                has_alpha)
+                            ysamps = np.asarray(run(
+                                jnp.asarray(xsamps), *sargs, yopt_j))
                         else:
                             ysamps = self._acq_host(
                                 method, opt_type, normvar)(xsamps)
@@ -761,9 +827,10 @@ class GPMCMC(LHC):
             ):
                 roll = np.random.rand()
                 if method != "eps-RS" or roll > eps:
-                    rvpack, nlp = self._refine_nlp(
-                        method, opt_type, normvar, jitter)
                     if opt_method in ("map", "predict"):
+                        sargs, has_alpha = self._bo_state_args(jitter)
+                        run, rvpack = self._get_bo_program(
+                            "refine", method, opt_type, normvar, has_alpha)
                         if opt_method == "map":
                             z0 = jnp.asarray(
                                 np.random.normal(size=rvpack.total))
@@ -773,12 +840,15 @@ class GPMCMC(LHC):
                             z0 = rvpack.pack_values({
                                 f"x{k}": xsamp[0, k]
                                 for k in range(self.nx)})
-                        z, val, gnorm, _ = minimize_lbfgs(nlp, z0)
+                        z, val = run(
+                            z0, *sargs, jnp.asarray(float(self.yopt)))
                         vals = rvpack.unpack(z)
                         xsamp = np.array([[
                             float(np.asarray(vals[f"x{k}"])[0])
                             for k in range(self.nx)]])
                     elif opt_method in ("mcmc_map", "mcmc_mean"):
+                        rvpack, nlp = self._refine_nlp(
+                            method, opt_type, normvar, jitter)
                         from .inference import nuts as nuts_mod
 
                         data = nuts_mod.sample_rvpack(
