@@ -42,13 +42,23 @@ def parse_kernel(kernel: str):
 
 
 def _scaled_sqdist(X, X2, ls):
-    """ARD-scaled squared distance, MXU-friendly matmul form."""
+    """ARD-scaled squared distance.
+
+    Difference form with a static loop over the (small) input dimension:
+    exact (no a^2+b^2-2ab cancellation) and free of f64 matmuls, whose XLA
+    emulation on TPU materialises O(nx * n * m) f32 component tensors.
+    The MXU matmul form lives in the f32/bf16 Pallas Gram kernel
+    (pallas_ops.py) where it belongs.
+    """
     Xs = X / ls
     X2s = X2 / ls
-    n2 = jnp.sum(Xs * Xs, axis=1)
-    m2 = jnp.sum(X2s * X2s, axis=1)
-    r2 = n2[:, None] + m2[None, :] - 2.0 * Xs @ X2s.T
-    return jnp.maximum(r2, 0.0)
+    d = X.shape[1]
+    r2 = None
+    for k in range(d):
+        diff = Xs[:, k, None] - X2s[None, :, k]
+        term = diff * diff
+        r2 = term if r2 is None else r2 + term
+    return r2
 
 
 def base_kernel(name: str, X, X2, ls, alpha=None, diag: bool = False):
