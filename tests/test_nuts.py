@@ -101,3 +101,22 @@ def test_gp_hyper_mcmc(tmp_path, monkeypatch):
     g.fit(method="mcmc_map", draws=100, tune=200, chains=2, random_seed=2)
     yhat = g.predict(g.x)
     assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 0.05
+
+
+def test_chains_sharded_over_mesh():
+    # 8 chains on the 8-device CPU mesh must actually shard (and produce
+    # sane results) — the BASELINE.json 64-chain posterior path in miniature.
+    import jax
+
+    assert jax.device_count() == 8
+
+    def logp(z):
+        return -0.5 * jnp.sum(z * z)
+
+    res = nuts.nuts_sample(
+        logp, jnp.zeros(3), key=jax.random.PRNGKey(0), num_warmup=300,
+        num_samples=300, num_chains=8, shard=True)
+    z = np.asarray(res["z"])
+    assert z.shape == (8, 300, 3)
+    rhat = nuts.split_rhat(z)
+    assert (rhat < 1.1).all()
