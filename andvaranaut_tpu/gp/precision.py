@@ -96,45 +96,50 @@ def _chol_f64(A):
     return jnp.linalg.cholesky(A)
 
 
-def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
-                    nslices: int = DEFAULT_NSLICES):
-    """Solve L x = b (or L^T x = b) to f64 grade without emulated-f64
-    triangular solves (pathologically slow on TPU): f32 solve + iterative
-    refinement with slice-matmul residuals."""
-    L32 = L.astype(jnp.float32)
+def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, extra_iters: int = 2):
+    """Lower-triangular inverse without any XLA triangular_solve (both the
+    emulated-f64 and f32 trsm lowerings have multi-minute compile times on
+    this TPU platform, and the f32 one computes through bf16 matmuls).
 
-    def solve32(r):
-        return jax.scipy.linalg.solve_triangular(
-            L32, r.astype(jnp.float32), lower=True, trans=trans
-        ).astype(L.dtype)
+    Newton iteration X <- X + X(I - LX) from the diagonal-inverse start:
+    for triangular L the error term is nilpotent, so ceil(log2 b) steps
+    converge exactly in exact arithmetic; slice-matmul products keep each
+    step at ~1e-7 grade and a couple of extra steps polish roundoff."""
+    import math as _math
 
-    op = (lambda v: slice_matmul(L.T, v, nslices=nslices)) if trans else (
-        lambda v: slice_matmul(L, v, nslices=nslices))
-    squeeze = b.ndim == 1
-    bm = b[:, None] if squeeze else b
-    x = solve32(bm)
-    for _ in range(iters):
-        r = bm - op(x)
-        x = x + solve32(r)
-    return x[:, 0] if squeeze else x
-
-
-def tri_inv_mixed(L, iters: int = 3, nslices: int = DEFAULT_NSLICES):
-    """Lower-triangular inverse to f64 grade: f32 triangular solve of the
-    identity, then Newton iterations X <- X(2I - LX) with slice matmuls."""
     b = L.shape[0]
+    niter = int(_math.ceil(_math.log2(max(b, 2)))) + extra_iters
     eye = jnp.eye(b, dtype=L.dtype)
-    X = jax.scipy.linalg.solve_triangular(
-        L.astype(jnp.float32), jnp.eye(b, dtype=jnp.float32), lower=True
-    ).astype(L.dtype)
-    for _ in range(iters):
+    X = jnp.diag(1.0 / jnp.diag(L))
+    for _ in range(niter):
         E = eye - slice_matmul(L, X, nslices=nslices)
         X = X + slice_matmul(X, E, nslices=nslices)
     return jnp.tril(X)
 
 
+def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
+                    nslices: int = DEFAULT_NSLICES, Linv=None):
+    """Solve L x = b (or L^T x = b) via an explicit mixed-precision
+    triangular inverse plus residual refinement (no XLA trsm; see
+    tri_inv_mixed)."""
+    if Linv is None:
+        Linv = tri_inv_mixed(L, nslices=nslices)
+    Lop = (lambda v: slice_matmul(L.T, v, nslices=nslices)) if trans else (
+        lambda v: slice_matmul(L, v, nslices=nslices))
+    Xop = (lambda v: slice_matmul(Linv.T, v, nslices=nslices)) if trans else (
+        lambda v: slice_matmul(Linv, v, nslices=nslices))
+    squeeze = b.ndim == 1
+    bm = b[:, None] if squeeze else b
+    x = Xop(bm)
+    for _ in range(iters):
+        r = bm - Lop(x)
+        x = x + Xop(r)
+    return x[:, 0] if squeeze else x
+
+
 def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
-                     nslices: int = DEFAULT_NSLICES):
+                     nslices: int = DEFAULT_NSLICES,
+                     return_inv: bool = False):
     """Right-looking blocked Cholesky.
 
     Diagonal factorisations run in true f64 (cheap O(N b^2) emulated work);
@@ -150,7 +155,10 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
     """
     n0 = K.shape[0]
     if n0 <= block:
-        return _chol_f64(K)
+        L = _chol_f64(K)
+        if return_inv:
+            return L, tri_inv_mixed(L, nslices=nslices)[None]
+        return L
     nb = -(-n0 // block)
     n = nb * block
     if n != n0:
@@ -164,10 +172,13 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
     )
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    def body(j, A):
+    def body(j, carry):
         # in-place factorisation: finished L columns live in A's lower
-        # triangle (single carry — two full f64 carries OOM at N=16k on a
-        # 16G-HBM chip once XLA double-buffers the emulated-f64 planes)
+        # triangle (single full-size carry — two full f64 carries OOM at
+        # N=16k on a 16G-HBM chip once XLA double-buffers the emulated-f64
+        # planes).  Diagonal-block inverses are kept: every later solve
+        # reuses them instead of re-running triangular inversions.
+        A, Dinv = carry
         lo = j * block
         Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
         Ljj = _chol_f64(Ajj)
@@ -175,6 +186,8 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
             tri_inv_mixed(Ljj, nslices=nslices) if mixed
             else jax.scipy.linalg.solve_triangular(
                 Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
+        Dinv = jax.lax.dynamic_update_slice(
+            Dinv, Linv[None], (j, 0, 0))
         cols = jax.lax.dynamic_slice(A, (0, lo), (n, block))
         below = row_idx >= lo + block
         panel = jnp.where(below, mm(cols, Linv.T), 0.0)
@@ -184,23 +197,30 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
         # write the finished column block (diagonal + sub-diagonal panel)
         Lcol = jax.lax.dynamic_update_slice(panel, Ljj, (lo, 0))
         A = jax.lax.dynamic_update_slice(A, Lcol, (0, lo))
-        return A
+        return A, Dinv
 
-    A = jax.lax.fori_loop(0, nb, body, K)
+    Dinv0 = jnp.zeros((nb, block, block), dtype=K.dtype)
+    A, Dinv = jax.lax.fori_loop(0, nb, body, (K, Dinv0))
     L = jnp.tril(A)
     if n != n0:
         L = L[:n0, :n0]
+    if return_inv:
+        return L, Dinv
     return L
 
 
 def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
-                        nslices: int = DEFAULT_NSLICES):
+                        nslices: int = DEFAULT_NSLICES, Dinv=None):
     """Solve L x = b (L lower-triangular) by blocked forward substitution:
-    sequential f64 panel solves + MXU off-diagonal products."""
+    sequential diagonal-block solves (via stored/Newton inverses) + MXU
+    off-diagonal products."""
     n = L.shape[0]
     if n <= block or n % block != 0:
         return (
-            tri_solve_mixed(L, b, nslices=nslices) if mixed
+            tri_solve_mixed(
+                L, b, nslices=nslices,
+                Linv=(Dinv[0] if Dinv is not None and n <= block else None))
+            if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True))
     squeeze = b.ndim == 1
     if squeeze:
@@ -212,10 +232,13 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
         else lambda a, c: a @ c
     )
 
-    def blk_solve(Lb, r):
-        return (
-            tri_solve_mixed(Lb, r, nslices=nslices) if mixed
-            else jax.scipy.linalg.solve_triangular(Lb, r, lower=True))
+    def blk_solve(j, Lb, r):
+        if not mixed:
+            return jax.scipy.linalg.solve_triangular(Lb, r, lower=True)
+        Linv = (
+            jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False)
+            if Dinv is not None else None)
+        return tri_solve_mixed(Lb, r, nslices=nslices, Linv=Linv)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
@@ -224,7 +247,7 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
         lo = j * block
         Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
         rblk = jax.lax.dynamic_slice(r, (lo, 0), (block, k))
-        xj = blk_solve(Lblk, rblk)
+        xj = blk_solve(j, Lblk, rblk)
         x = jax.lax.dynamic_update_slice(x, xj, (lo, 0))
         Lcol = jnp.where(
             row_idx >= lo + block,
@@ -237,12 +260,15 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
 
 
 def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
-                        nslices: int = DEFAULT_NSLICES):
+                        nslices: int = DEFAULT_NSLICES, Dinv=None):
     """Solve L^T x = b by blocked backward substitution (L lower-tri)."""
     n = L.shape[0]
     if n <= block or n % block != 0:
         return (
-            tri_solve_mixed(L, b, trans=1, nslices=nslices) if mixed
+            tri_solve_mixed(
+                L, b, trans=1, nslices=nslices,
+                Linv=(Dinv[0] if Dinv is not None and n <= block else None))
+            if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1))
     squeeze = b.ndim == 1
     if squeeze:
@@ -254,11 +280,14 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
         else lambda a, c: a @ c
     )
 
-    def blk_solve_t(Lb, r):
-        return (
-            tri_solve_mixed(Lb, r, trans=1, nslices=nslices) if mixed
-            else jax.scipy.linalg.solve_triangular(
-                Lb, r, lower=True, trans=1))
+    def blk_solve_t(j, Lb, r):
+        if not mixed:
+            return jax.scipy.linalg.solve_triangular(
+                Lb, r, lower=True, trans=1)
+        Linv = (
+            jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False)
+            if Dinv is not None else None)
+        return tri_solve_mixed(Lb, r, trans=1, nslices=nslices, Linv=Linv)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
@@ -268,7 +297,7 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
         lo = j * block
         Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
         rblk = jax.lax.dynamic_slice(r, (lo, 0), (block, k))
-        xj = blk_solve_t(Lblk, rblk)
+        xj = blk_solve_t(j, Lblk, rblk)
         x = jax.lax.dynamic_update_slice(x, xj, (lo, 0))
         # propagate to rows above: r[:lo] -= L[lo:hi, :lo]^T @ xj; mask rows
         # >= lo of the (transposed) row panel to zero
@@ -284,15 +313,18 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
 
 
 def refined_chol_solve(L, K, y, block: int = 1024,
-                       nslices: int = DEFAULT_NSLICES, iters: int = 2):
+                       nslices: int = DEFAULT_NSLICES, iters: int = 2,
+                       Dinv=None):
     """Solve K x = y through the mixed factorisation with iterative
     refinement: residuals in true f64 (O(N^2), cheap) knock the
     slice-arithmetic error down to f64 grade even at high condition
     numbers."""
 
     def solve(b):
-        z = blocked_solve_lower(L, b, block=block, nslices=nslices)
-        return blocked_solve_upper(L, z, block=block, nslices=nslices)
+        z = blocked_solve_lower(L, b, block=block, nslices=nslices,
+                                Dinv=Dinv)
+        return blocked_solve_upper(L, z, block=block, nslices=nslices,
+                                   Dinv=Dinv)
 
     x = solve(y)
     for _ in range(iters):
@@ -311,9 +343,10 @@ def mixed_nlml(K, y, block: int = 1024, nslices: int = DEFAULT_NSLICES,
     log-determinant comes from the factor diagonal."""
     import math
 
-    L = blocked_cholesky(K, block=block, mixed=True, nslices=nslices)
+    L, Dinv = blocked_cholesky(
+        K, block=block, mixed=True, nslices=nslices, return_inv=True)
     x = refined_chol_solve(L, K, y, block=block, nslices=nslices,
-                           iters=refine_iters)
+                           iters=refine_iters, Dinv=Dinv)
     return (
         -0.5 * jnp.dot(y, x)
         - jnp.sum(jnp.log(jnp.diag(L)))
