@@ -110,10 +110,12 @@ def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, extra_iters: int = 2):
     b = L.shape[0]
     niter = int(_math.ceil(_math.log2(max(b, 2)))) + extra_iters
     eye = jnp.eye(b, dtype=L.dtype)
-    X = jnp.diag(1.0 / jnp.diag(L))
-    for _ in range(niter):
+
+    def body(_, X):
         E = eye - slice_matmul(L, X, nslices=nslices)
-        X = X + slice_matmul(X, E, nslices=nslices)
+        return X + slice_matmul(X, E, nslices=nslices)
+
+    X = jax.lax.fori_loop(0, niter, body, jnp.diag(1.0 / jnp.diag(L)))
     return jnp.tril(X)
 
 
@@ -130,10 +132,12 @@ def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
         lambda v: slice_matmul(Linv, v, nslices=nslices))
     squeeze = b.ndim == 1
     bm = b[:, None] if squeeze else b
-    x = Xop(bm)
-    for _ in range(iters):
+
+    def body(_, x):
         r = bm - Lop(x)
-        x = x + Xop(r)
+        return x + Xop(r)
+
+    x = jax.lax.fori_loop(0, iters, body, Xop(bm))
     return x[:, 0] if squeeze else x
 
 
@@ -326,14 +330,15 @@ def refined_chol_solve(L, K, y, block: int = 1024,
         return blocked_solve_upper(L, z, block=block, nslices=nslices,
                                    Dinv=Dinv)
 
-    x = solve(y)
-    for _ in range(iters):
+    def body(_, x):
         # True-f64 residual as an elementwise broadcast-reduce: XLA's
         # emulated-f64 dot_general materialises O(N^2) f32 component
         # matrices (OOM at 16k); the elementwise form fuses.
         r = y - jnp.sum(K * x[None, :], axis=1)
-        x = x + solve(r)
-    return x
+        return x + solve(r)
+
+    # first pass solves from x=0 (residual y); the rest refine
+    return jax.lax.fori_loop(0, iters + 1, body, jnp.zeros_like(y))
 
 
 def mixed_nlml(K, y, block: int = 1024, nslices: int = DEFAULT_NSLICES,
