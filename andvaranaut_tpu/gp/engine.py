@@ -231,7 +231,8 @@ def _pad_mask_gram(kerns, ops, xin, valid, l, kv, alpha, gv, jitter):
 
 
 def make_fit_program(kerns, ops, noise: bool, truncate: bool, jitter: float,
-                     nx: int, max_iter: int = 500, tol: float = 1e-8):
+                     nx: int, max_iter: int = 500, tol: float = 1e-8,
+                     precision: str = "f64", chol_block: int = 2048):
     """Shape-polymorphic MAP program for the plain (non-learnable-warping)
     path: one compiled executable per (spec, padded-shape) bucket, reused
     across BO-loop refits and dataset growth (SURVEY.md §7 hard part 5).
@@ -258,6 +259,13 @@ def make_fit_program(kerns, ops, noise: bool, truncate: bool, jitter: float,
         vv = valid.astype(K.dtype)
         K = K * (vv[:, None] * vv[None, :])
         K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
+        if precision == "mixed":
+            # Reverse-mode AD through the blocked mixed path compiles
+            # impractically slowly; large-N mixed-precision MAP will use
+            # closed-form NLML gradients (planned) rather than autodiff.
+            raise NotImplementedError(
+                "precision='mixed' MAP fitting is not wired yet; use the "
+                "forward mixed_nlml for evaluation or precision='f64'.")
         L = jnp.linalg.cholesky(K)
         beta = jax.scipy.linalg.solve_triangular(L, yin, lower=True)
         logl = (
@@ -292,20 +300,23 @@ _FIT_PROGRAMS: dict = {}
 
 
 def get_fit_program(kerns, ops, noise, truncate, jitter, nx,
-                    max_iter: int = 500, tol: float = 1e-8):
+                    max_iter: int = 500, tol: float = 1e-8,
+                    precision: str = "f64"):
     """Process-level cache of compiled plain-path MAP programs, keyed by
     model spec (shapes handled by jit)."""
     key = (tuple(kerns), tuple(ops), bool(noise), bool(truncate),
-           float(jitter), int(nx), int(max_iter), float(tol))
+           float(jitter), int(nx), int(max_iter), float(tol), precision)
     if key not in _FIT_PROGRAMS:
         _FIT_PROGRAMS[key] = make_fit_program(
             tuple(kerns), tuple(ops), bool(noise), bool(truncate),
-            float(jitter), int(nx), max_iter=max_iter, tol=tol)
+            float(jitter), int(nx), max_iter=max_iter, tol=tol,
+            precision=precision)
     return _FIT_PROGRAMS[key]
 
 
 def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
-            seed: int = 0, max_iter: int = 500, tol: float = 1e-8):
+            seed: int = 0, max_iter: int = 500, tol: float = 1e-8,
+            precision: str = "f64"):
     """MAP fit with restarts (random unconstrained-space starts — the
     reference intended this but never passed `start`, gpmcmc.py:330; fixed).
 
@@ -326,7 +337,7 @@ def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
         xin_p, yin_p, valid = pad_data(xin, yin)
         rvpack, run = get_fit_program(
             cfg.kerns, cfg.ops, cfg.noise, cfg.truncate, cfg.jitter, nx,
-            max_iter=max_iter, tol=tol)
+            max_iter=max_iter, tol=tol, precision=precision)
         nreal = jnp.asarray(float(n))
 
         def attempt(zr):

@@ -31,13 +31,21 @@ DEFAULT_CHUNK_K = 512
 
 def _split_slices(A, nslices: int):
     """A (f64/f32) ~= sum of bf16 slices with descending 8-bit mantissa
-    windows."""
+    windows.
+
+    The rounding step MUST be lax.reduce_precision, not a bf16 cast
+    round-trip: under --xla_allow_excess_precision=true (set by some TPU
+    compile services) XLA may elide `f64 -> bf16 -> f64`, which zeroes
+    every residual and silently degrades the whole scheme to single-bf16
+    accuracy.  reduce_precision is semantically a rounding op and cannot
+    be optimised away."""
     slices = []
     R = A
     for _ in range(nslices):
-        s = R.astype(jnp.bfloat16)
-        slices.append(s)
-        R = R - s.astype(A.dtype)
+        s_round = jax.lax.reduce_precision(R, exponent_bits=8,
+                                           mantissa_bits=7)
+        slices.append(s_round.astype(jnp.bfloat16))
+        R = R - s_round
     return slices
 
 

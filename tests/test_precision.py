@@ -79,3 +79,4 @@ def test_mixed_nlml_parity(rng):
     mixed = float(precision.mixed_nlml(jnp.asarray(K), jnp.asarray(y),
                                        block=256))
     assert abs(mixed - exact) / abs(exact) < 1e-6, (mixed, exact)
+
