@@ -33,19 +33,27 @@ def _split_slices(A, nslices: int):
     """A (f64/f32) ~= sum of bf16 slices with descending 8-bit mantissa
     windows.
 
-    The rounding step MUST be lax.reduce_precision, not a bf16 cast
-    round-trip: under --xla_allow_excess_precision=true (set by some TPU
-    compile services) XLA may elide `f64 -> bf16 -> f64`, which zeroes
-    every residual and silently degrades the whole scheme to single-bf16
-    accuracy.  reduce_precision is semantically a rounding op and cannot
-    be optimised away."""
+    The truncation step MUST NOT be a bf16 cast round-trip: under
+    --xla_allow_excess_precision=true (set by some TPU compile services)
+    XLA may elide `f64 -> bf16 -> f64`, which zeroes every residual and
+    silently degrades the whole scheme to single-bf16 accuracy (measured
+    2e-3 on hardware).  lax.reduce_precision on f64 is rejected by the TPU
+    X64 rewriter, so we truncate the mantissa by integer bit-masking —
+    bitcasts are opaque to the optimiser, and the truncated value is
+    exactly bf16-representable so the final cast is exact."""
+    if A.dtype == jnp.float64:
+        mask = np.uint64(0xFFFFE00000000000)  # sign+exp+top 7 mantissa bits
+        uint = jnp.uint64
+    else:  # float32: sign(1)+exp(8)+top 7 of 23 mantissa bits
+        mask = np.uint32(0xFFFF0000)
+        uint = jnp.uint32
     slices = []
     R = A
     for _ in range(nslices):
-        s_round = jax.lax.reduce_precision(R, exponent_bits=8,
-                                           mantissa_bits=7)
-        slices.append(s_round.astype(jnp.bfloat16))
-        R = R - s_round
+        u = jax.lax.bitcast_convert_type(R, uint)
+        s_trunc = jax.lax.bitcast_convert_type(u & mask, A.dtype)
+        slices.append(s_trunc.astype(jnp.bfloat16))
+        R = R - s_trunc
     return slices
 
 

@@ -3,15 +3,17 @@
 
 Workload (BASELINE.json north star): N=16384 training points, 2-D inputs,
 RBF kernel + noise — the O(N^3) Cholesky-dominated NLML at the heart of
-MAP fitting and NUTS.  Ours runs the mixed-precision blocked factorisation
-(bf16-slice MXU matmuls, f64 panels, refined solves) on the TPU; the
-baseline is the same f64 computation in numpy/OpenBLAS on the host CPU
-(the reference stack's PyTensor-compiled NLML is BLAS-bound in the same
-way; PyMC itself is not installed in this image), measured at N=4096 and
-scaled by (N/4096)^3 to bound its 16k cost optimistically.
+MAP fitting and NUTS.
 
-Accuracy guard: the mixed NLML is cross-checked against the exact
-(XLA-emulated) f64 NLML at N=4096 and the relative deviation is reported.
+Ours: the mixed-precision blocked factorisation (bf16-slice MXU matmuls,
+f64 diagonal panels, Newton triangular inverses, f64-refined solves) on
+the TPU, end to end from raw inputs (Gram construction included).
+
+Baseline: the same f64 computation in numpy/OpenBLAS on the host CPU,
+measured directly at the same N — the reference stack's PyTensor-compiled
+NLML is BLAS-bound in the same way (PyMC itself is not installed in this
+image).  The CPU value doubles as the f64 parity reference: the relative
+deviation of the TPU result is reported alongside.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -29,10 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from andvaranaut_tpu.gp import engine, kernels, precision
+from andvaranaut_tpu.gp import kernels, precision
 
 N = int(os.environ.get("BENCH_N", 16384))
-N_BASE = int(os.environ.get("BENCH_N_BASE", 4096))
 BLOCK = int(os.environ.get("BENCH_BLOCK", 2048))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 
@@ -44,61 +45,46 @@ def make_data(n, nx=2, seed=0):
     return X, y
 
 
-def gram_f64(X, l, kv, gv, jitter=1e-6):
-    K = kernels.gram(("RBF",), (), X, None, l, kv, None)
-    return K + jnp.eye(X.shape[0], dtype=X.dtype) * (jitter + gv)
+L_SCALES = np.array([0.5, 0.7])
+KV, GV, JITTER = 1.0, 1e-4, 1e-6
 
 
-def tpu_nlml_time(n):
+def tpu_nlml(n):
     X, y = make_data(n)
     Xj, yj = jnp.asarray(X), jnp.asarray(y)
-    l = jnp.asarray([0.5, 0.7])
-    kv = jnp.asarray([1.0])
-    gv = jnp.asarray(1e-4)
+    l = jnp.asarray(L_SCALES)
+    kv = jnp.asarray([KV])
 
     @jax.jit
-    def f(X, y, l, kv, gv):
-        K = gram_f64(X, l, kv, gv)
-        return precision.mixed_nlml(K, y, block=BLOCK)
+    def f(X, y):
+        K = kernels.gram(("RBF",), (), X, None, l, kv, None)
+        K = K + jnp.eye(n, dtype=X.dtype) * (JITTER + GV)
+        return precision.mixed_nlml(K, y, block=min(BLOCK, max(n // 4, 1)))
 
-    val = float(f(Xj, yj, l, kv, gv))  # compile + sync
+    t0 = time.time()
+    val = float(f(Xj, yj))  # compile + first run
+    t_compile = time.time() - t0
     t0 = time.time()
     for _ in range(REPS):
-        val = float(f(Xj, yj, l, kv, gv))
+        val = float(f(Xj, yj))
     dt = (time.time() - t0) / REPS
-    return dt, val
+    return dt, val, t_compile
 
 
-def tpu_accuracy_check(n):
+def cpu_nlml(n):
+    """Exact f64 reference on host BLAS; also the baseline timing."""
+    from scipy.linalg import cho_factor, solve_triangular
+
     X, y = make_data(n)
-    Xj, yj = jnp.asarray(X), jnp.asarray(y)
-    l = jnp.asarray([0.5, 0.7])
-    kv = jnp.asarray([1.0])
-    gv = jnp.asarray(1e-4)
-    K = gram_f64(Xj, l, kv, gv)
-    exact = float(engine.chol_nlml(K, yj))
-    mixed = float(precision.mixed_nlml(K, yj, block=min(BLOCK, n // 2)))
-    return abs(mixed - exact) / abs(exact)
+    Xs = X / L_SCALES
 
-
-def cpu_baseline_time(n):
-    X, y = make_data(n)
-    l = np.array([0.5, 0.7])
-    kv, gv, jitter = 1.0, 1e-4, 1e-6
-
-    def nlml():
-        Xs = X / l
-        sq = (
-            (Xs**2).sum(1)[:, None]
-            + (Xs**2).sum(1)[None, :]
-            - 2.0 * Xs @ Xs.T
-        )
-        K = kv * np.exp(-0.5 * np.maximum(sq, 0)) + (gv + jitter) * np.eye(n)
+    def run():
+        sq = np.zeros((n, n))
+        for k in range(X.shape[1]):
+            d = Xs[:, k, None] - Xs[None, :, k]
+            sq += d * d
+        K = KV * np.exp(-0.5 * sq) + (GV + JITTER) * np.eye(n)
         L = np.linalg.cholesky(K)
-        beta = np.linalg.solve(L, y)  # triangular structure ignored: favours
-        # the baseline's BLAS (dtrsv is slower than gesv here? keep simple)
-        from scipy.linalg import solve_triangular
-
         beta = solve_triangular(L, y, lower=True)
         return (
             -0.5 * beta @ beta
@@ -106,28 +92,27 @@ def cpu_baseline_time(n):
             - 0.5 * n * np.log(2 * np.pi)
         )
 
-    v = nlml()  # warm caches
     t0 = time.time()
-    v = nlml()
-    return time.time() - t0, v
+    val = run()
+    return time.time() - t0, val
 
 
 def main():
-    dt_tpu, val = tpu_nlml_time(N)
-    rel_err = tpu_accuracy_check(min(N_BASE, 4096))
-    dt_cpu_base, _ = cpu_baseline_time(N_BASE)
-    cpu_est = dt_cpu_base * (N / N_BASE) ** 3
+    dt_tpu, val_tpu, t_compile = tpu_nlml(N)
+    dt_cpu, val_cpu = cpu_nlml(N)
+    rel_err = abs(val_tpu - val_cpu) / abs(val_cpu)
     result = {
         "metric": f"gp_nlml_n{N}_wall_ms",
         "value": round(dt_tpu * 1000.0, 2),
         "unit": "ms",
-        "vs_baseline": round(cpu_est / dt_tpu, 2),
+        "vs_baseline": round(dt_cpu / dt_tpu, 2),
     }
     print(json.dumps(result))
     print(
-        f"# detail: nlml={val:.6e}, mixed-vs-f64 rel err at n={min(N_BASE, 4096)}: "
-        f"{rel_err:.2e}; cpu f64 baseline {dt_cpu_base:.2f}s at n={N_BASE} "
-        f"-> est {cpu_est:.1f}s at n={N}; backend={jax.default_backend()}",
+        f"# detail: tpu nlml={val_tpu:.8e} vs cpu f64 {val_cpu:.8e} "
+        f"(rel err {rel_err:.2e}); tpu {dt_tpu*1000:.1f} ms/eval "
+        f"(first incl compile {t_compile:.0f}s), cpu {dt_cpu:.2f}s; "
+        f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
 
