@@ -37,23 +37,20 @@ def _split_slices(A, nslices: int):
     --xla_allow_excess_precision=true (set by some TPU compile services)
     XLA may elide `f64 -> bf16 -> f64`, which zeroes every residual and
     silently degrades the whole scheme to single-bf16 accuracy (measured
-    2e-3 on hardware).  lax.reduce_precision on f64 is rejected by the TPU
-    X64 rewriter, so we truncate the mantissa by integer bit-masking —
-    bitcasts are opaque to the optimiser, and the truncated value is
-    exactly bf16-representable so the final cast is exact."""
-    if A.dtype == jnp.float64:
-        mask = np.uint64(0xFFFFE00000000000)  # sign+exp+top 7 mantissa bits
-        uint = jnp.uint64
-    else:  # float32: sign(1)+exp(8)+top 7 of 23 mantissa bits
-        mask = np.uint32(0xFFFF0000)
-        uint = jnp.uint32
+    2e-3 on hardware).  64-bit bitcasts and reduce_precision are rejected
+    by the TPU X64 rewriter, so each step drops the residual to f32 (the
+    rewriter's native hi-part extraction) and truncates to the bf16 grid
+    by u32 mantissa masking — the bitcast forces materialisation, and the
+    masked value casts to bf16 exactly."""
+    mask = np.uint32(0xFFFF0000)  # f32 sign+exp+top 7 mantissa bits
     slices = []
     R = A
     for _ in range(nslices):
-        u = jax.lax.bitcast_convert_type(R, uint)
-        s_trunc = jax.lax.bitcast_convert_type(u & mask, A.dtype)
+        r32 = R.astype(jnp.float32)
+        u = jax.lax.bitcast_convert_type(r32, jnp.uint32)
+        s_trunc = jax.lax.bitcast_convert_type(u & mask, jnp.float32)
         slices.append(s_trunc.astype(jnp.bfloat16))
-        R = R - s_trunc
+        R = R - s_trunc.astype(A.dtype)
     return slices
 
 
