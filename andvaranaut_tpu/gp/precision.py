@@ -54,14 +54,62 @@ def _split_slices(A, nslices: int):
     return slices
 
 
-@partial(jax.jit, static_argnames=("nslices", "chunk_k"))
-def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
-                 chunk_k: int = DEFAULT_CHUNK_K):
-    """C = A @ B with near-f64 accuracy on the MXU.
+def _pow2_row_scales(A, axis):
+    """Power-of-two per-row (axis=1) or per-column (axis=0) scales such
+    that A/scale lies in (-0.5, 0.5].  Exact scaling (powers of two); the
+    +2 margin absorbs emulated-f64 log2 rounding."""
+    m = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
+    m = jnp.maximum(m, jnp.finfo(A.dtype).tiny)
+    e = jnp.floor(jnp.log2(m)) + 2.0
+    return jnp.exp2(e)
 
-    All slice-pair products with i+j < nslices are exact in f32 (bf16
-    mantissas multiply exactly); accumulation error is limited by f32
-    chunk sums, recombined in f64 per chunk.
+
+def _int_slices(As, nslices: int):
+    """Integer mantissa slices of As in (-0.5, 0.5]: As ~= sum_k c_k 2^-7(k+1)
+    with int8 c_k in [-64, 64].  All arithmetic exact (powers of two)."""
+    slices = []
+    R = As
+    for _ in range(nslices):
+        c = jnp.trunc(R * 128.0)
+        slices.append(c.astype(jnp.int8))
+        R = R * 128.0 - c
+    return slices
+
+
+@partial(jax.jit, static_argnames=("nslices",))
+def int_slice_matmul(A, B, nslices: int = 6):
+    """C = A @ B via the integer Ozaki scheme: power-of-two row/col
+    scaling, int8 mantissa slices, and EXACT int32 accumulation on the
+    MXU.  Product accuracy ~2^-40 relative — accurate enough that the
+    blocked Cholesky's small Schur diagonals (and hence the
+    log-determinant) come out to f64-grade, with no f32-accumulation
+    floor.  int32 is exact up to k*64^2 < 2^31, i.e. k <= 2^19."""
+    out_dtype = A.dtype
+    sA = _pow2_row_scales(A, axis=1)   # (m, 1)
+    sB = _pow2_row_scales(B, axis=0)   # (1, n)
+    As = A / sA
+    Bs = B / sB
+    a = _int_slices(As, nslices)
+    b = _int_slices(Bs, nslices)
+    C = None
+    for i in range(nslices):
+        for j in range(nslices - i):
+            p = jax.lax.dot_general(
+                a[i], b[j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            term = p.astype(out_dtype) * (2.0 ** (-7.0 * (i + j + 2)))
+            C = term if C is None else C + term
+    return C * (sA * sB)
+
+
+@partial(jax.jit, static_argnames=("nslices", "chunk_k"))
+def slice_matmul_bf16(A, B, nslices: int = DEFAULT_NSLICES,
+                      chunk_k: int = DEFAULT_CHUNK_K):
+    """C = A @ B with ~1e-7 accuracy on the MXU (bf16 slices, f32 chunk
+    accumulation recombined in f64).  Faster but accumulation-limited;
+    int_slice_matmul is the accuracy-critical default.
     """
     out_dtype = A.dtype
     m, k = A.shape
@@ -98,6 +146,12 @@ def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
     return C
 
 
+def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
+                 chunk_k: int = DEFAULT_CHUNK_K):
+    """Accurate MXU matmul — integer-Ozaki path (see int_slice_matmul)."""
+    return int_slice_matmul(A, B)
+
+
 @partial(jax.jit, static_argnames=("nslices", "chunk_k"))
 def slice_syrk(A, nslices: int = DEFAULT_NSLICES,
                chunk_k: int = DEFAULT_CHUNK_K):
@@ -109,27 +163,48 @@ def _chol_f64(A):
     return jnp.linalg.cholesky(A)
 
 
-def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, extra_iters: int = 2):
-    """Lower-triangular inverse without any XLA triangular_solve (both the
-    emulated-f64 and f32 trsm lowerings have multi-minute compile times on
-    this TPU platform, and the f32 one computes through bf16 matmuls).
+def _subst_inv(L):
+    """Dense lower-triangular inverse by classical forward substitution,
+    row by row, in (emulated) f64 elementwise arithmetic.
 
-    Newton iteration X <- X + X(I - LX) from the diagonal-inverse start:
-    for triangular L the error term is nilpotent, so ceil(log2 b) steps
-    converge exactly in exact arithmetic; slice-matmul products keep each
-    step at ~1e-7 grade and a couple of extra steps polish roundoff."""
-    import math as _math
-
+    No XLA triangular_solve (multi-minute compile times on this TPU
+    platform) and no Newton iteration (transient blow-up for ill-scaled
+    factors — the nilpotent-convergence argument only holds in exact
+    arithmetic).  Intended for small static b (the factorisation block);
+    the row loop is a fori_loop so compile size is O(1) in b."""
     b = L.shape[0]
-    niter = int(_math.ceil(_math.log2(max(b, 2)))) + extra_iters
+    idx = jnp.arange(b)
+
+    def body(i, X):
+        Lrow = jax.lax.dynamic_slice(L, (i, 0), (1, b))[0]
+        Lrow = jnp.where(idx < i, Lrow, 0.0)
+        # elementwise broadcast-reduce: emulated-f64 dot_general expands
+        # into large f32 component tensors
+        acc = jnp.sum(Lrow[:, None] * X, axis=0)
+        e_i = jnp.where(idx == i, 1.0, 0.0).astype(L.dtype)
+        diag = jax.lax.dynamic_slice(L, (i, i), (1, 1))[0, 0]
+        Xi = (e_i - acc) / diag
+        return jax.lax.dynamic_update_slice(X, Xi[None, :], (i, 0))
+
+    X = jax.lax.fori_loop(0, b, body, jnp.zeros_like(L))
+    return X
+
+
+def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int = 256):
+    """Lower-triangular inverse: substitution for small matrices, blocked
+    substitution (via blocked_solve_lower with identity rhs and per-block
+    substitution inverses) for larger ones."""
+    b = L.shape[0]
+    if b <= base or b % base != 0:
+        return _subst_inv(L)
+    nb = b // base
+    Ldiag = jnp.stack([
+        jax.lax.dynamic_slice(L, (j * base, j * base), (base, base))
+        for j in range(nb)])
+    Dinv = jax.vmap(_subst_inv)(Ldiag)
     eye = jnp.eye(b, dtype=L.dtype)
-
-    def body(_, X):
-        E = eye - slice_matmul(L, X, nslices=nslices)
-        return X + slice_matmul(X, E, nslices=nslices)
-
-    X = jax.lax.fori_loop(0, niter, body, jnp.diag(1.0 / jnp.diag(L)))
-    return jnp.tril(X)
+    return blocked_solve_lower(
+        L, eye, block=base, nslices=nslices, Dinv=Dinv)
 
 
 def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
@@ -154,7 +229,7 @@ def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
     return x[:, 0] if squeeze else x
 
 
-def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
+def blocked_cholesky(K, block: int = 256, mixed: bool = True,
                      nslices: int = DEFAULT_NSLICES,
                      return_inv: bool = False):
     """Right-looking blocked Cholesky.
@@ -200,7 +275,7 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
         Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
         Ljj = _chol_f64(Ajj)
         Linv = (
-            tri_inv_mixed(Ljj, nslices=nslices) if mixed
+            _subst_inv(Ljj) if mixed
             else jax.scipy.linalg.solve_triangular(
                 Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
         Dinv = jax.lax.dynamic_update_slice(
@@ -226,7 +301,7 @@ def blocked_cholesky(K, block: int = 1024, mixed: bool = True,
     return L
 
 
-def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
+def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
                         nslices: int = DEFAULT_NSLICES, Dinv=None):
     """Solve L x = b (L lower-triangular) by blocked forward substitution:
     sequential diagonal-block solves (via stored/Newton inverses) + MXU
@@ -276,7 +351,7 @@ def blocked_solve_lower(L, b, block: int = 1024, mixed: bool = True,
     return x[:, 0] if squeeze else x
 
 
-def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
+def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,
                         nslices: int = DEFAULT_NSLICES, Dinv=None):
     """Solve L^T x = b by blocked backward substitution (L lower-tri)."""
     n = L.shape[0]
@@ -329,7 +404,7 @@ def blocked_solve_upper(L, b, block: int = 1024, mixed: bool = True,
     return x[:, 0] if squeeze else x
 
 
-def refined_chol_solve(L, K, y, block: int = 1024,
+def refined_chol_solve(L, K, y, block: int = 256,
                        nslices: int = DEFAULT_NSLICES, iters: int = 2,
                        Dinv=None):
     """Solve K x = y through the mixed factorisation with iterative
@@ -354,7 +429,7 @@ def refined_chol_solve(L, K, y, block: int = 1024,
     return jax.lax.fori_loop(0, iters + 1, body, jnp.zeros_like(y))
 
 
-def mixed_nlml(K, y, block: int = 1024, nslices: int = DEFAULT_NSLICES,
+def mixed_nlml(K, y, block: int = 256, nslices: int = DEFAULT_NSLICES,
                refine_iters: int = 2):
     """Gaussian log marginal likelihood via the mixed-precision blocked
     factorisation.  The quadratic form uses iteratively-refined solves; the

@@ -80,3 +80,21 @@ def test_mixed_nlml_parity(rng):
                                        block=256))
     assert abs(mixed - exact) / abs(exact) < 1e-6, (mixed, exact)
 
+
+def test_mixed_nlml_smooth_kernel_matrix(rng):
+    """Near-low-rank RBF kernel matrix (eigenvalues collapsing onto the
+    noise floor) — the spectrum that exposed transient blow-up in a
+    Newton-based triangular inverse.  Must stay finite and accurate."""
+    from andvaranaut_tpu.gp import kernels
+
+    n = 1024
+    X = rng.uniform(size=(n, 2))
+    l = jnp.asarray([0.5, 0.7])
+    kv = jnp.asarray([1.0])
+    K = kernels.gram(("RBF",), (), jnp.asarray(X), None, l, kv, None)
+    K = K + (1e-6 + 1e-4) * jnp.eye(n)
+    y = jnp.asarray(np.sin(3 * X[:, 0]) + X[:, 1] ** 2)
+    exact = float(engine.chol_nlml(K, y))
+    mixed = float(precision.mixed_nlml(K, y, block=256))
+    assert np.isfinite(mixed)
+    assert abs(mixed - exact) / abs(exact) < 1e-6, (mixed, exact)
