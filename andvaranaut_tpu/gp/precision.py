@@ -56,12 +56,20 @@ def _split_slices(A, nslices: int):
 
 def _pow2_row_scales(A, axis):
     """Power-of-two per-row (axis=1) or per-column (axis=0) scales such
-    that A/scale lies in (-0.5, 0.5].  Exact scaling (powers of two); the
-    +2 margin absorbs emulated-f64 log2 rounding."""
+    that A/scale lies in (-0.5, 0.5].
+
+    Built by integer exponent-bit manipulation on f32 (floor(log2) from
+    the biased exponent field, scale from bit-assembled 2^e): emulated-f64
+    log2/exp2 on TPU are not exact, and an inexact "power of two" breaks
+    the exactness of the slice decomposition."""
     m = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
-    m = jnp.maximum(m, jnp.finfo(A.dtype).tiny)
-    e = jnp.floor(jnp.log2(m)) + 2.0
-    return jnp.exp2(e)
+    m32 = jnp.maximum(m.astype(jnp.float32), jnp.float32(1e-30))
+    u = jax.lax.bitcast_convert_type(m32, jnp.uint32)
+    e_floor = ((u >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
+    e = jnp.clip(e_floor + 2, -120, 120)
+    scale32 = jax.lax.bitcast_convert_type(
+        ((e + 127).astype(jnp.uint32)) << 23, jnp.float32)
+    return scale32.astype(A.dtype)
 
 
 def _int_slices(As, nslices: int):
