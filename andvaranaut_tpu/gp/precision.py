@@ -97,18 +97,30 @@ def int_slice_matmul(A, B, nslices: int = 6):
     sB = _pow2_row_scales(B, axis=0)   # (1, n)
     As = A / sA
     Bs = B / sB
-    a = _int_slices(As, nslices)
-    b = _int_slices(Bs, nslices)
-    C = None
-    for i in range(nslices):
-        for j in range(nslices - i):
-            p = jax.lax.dot_general(
-                a[i], b[j],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            term = p.astype(out_dtype) * (2.0 ** (-7.0 * (i + j + 2)))
-            C = term if C is None else C + term
+    a_st = jnp.stack(_int_slices(As, nslices))   # (ns, m, k) int8
+    b_st = jnp.stack(_int_slices(Bs, nslices))   # (ns, k, n) int8
+    pairs = [(i, j) for i in range(nslices) for j in range(nslices - i)]
+    i_idx = jnp.asarray([p[0] for p in pairs], dtype=jnp.int32)
+    j_idx = jnp.asarray([p[1] for p in pairs], dtype=jnp.int32)
+    # exact host-computed power-of-two weights per slice-pair order
+    w = jnp.asarray(
+        [2.0 ** (-7.0 * (s + 2)) for s in range(2 * nslices)],
+        dtype=out_dtype)
+    m, n = A.shape[0], B.shape[1]
+
+    def body(C, pij):
+        i, j = pij
+        p = jax.lax.dot_general(
+            jax.lax.dynamic_index_in_dim(a_st, i, keepdims=False),
+            jax.lax.dynamic_index_in_dim(b_st, j, keepdims=False),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # scanned accumulation: one int32 product tensor live at a time
+        return C + p.astype(out_dtype) * w[i + j], None
+
+    C, _ = jax.lax.scan(
+        body, jnp.zeros((m, n), dtype=out_dtype), (i_idx, j_idx))
     return C * (sA * sB)
 
 
