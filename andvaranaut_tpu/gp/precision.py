@@ -295,7 +295,7 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
         Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
         Ljj = _chol_f64(Ajj)
         Linv = (
-            _subst_inv(Ljj) if mixed
+            tri_inv_mixed(Ljj, nslices=nslices, base=128) if mixed
             else jax.scipy.linalg.solve_triangular(
                 Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
         Dinv = jax.lax.dynamic_update_slice(

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from andvaranaut_tpu.gp import kernels, precision
 
 N = int(os.environ.get("BENCH_N", 16384))
-BLOCK = int(os.environ.get("BENCH_BLOCK", 256))
+BLOCK = int(os.environ.get("BENCH_BLOCK", 1024))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 
 
