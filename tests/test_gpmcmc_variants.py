@@ -1,0 +1,129 @@
+"""Coverage for the less-travelled reference paths: truncated hyperpriors
+(gpmcmc.py:201-205), RatQuad with its alpha hyperparameter
+(gpmcmc.py:287-290), kernel algebra fits, MAP restarts, method='none'
+with learnable warpings (gpmcmc.py:390-399), and train/test-aware
+test_plots with a live fit method."""
+
+import numpy as np
+import pytest
+
+from andvaranaut_tpu import GPMCMC, dists
+import andvaranaut_tpu.transform as tf
+
+
+def _toy(x):
+    return np.array([x[0] ** 2 - x[0] - x[1] ** 2 * x[0] + x[1]])
+
+
+def _make(tmp_path, n=40, seed=11, **kw):
+    priors = [dists.Uniform(0.0, 2.0), dists.Uniform(1.0, 0.5)]
+    g = GPMCMC(
+        nx=2, ny=1, priors=priors, target=_toy,
+        xconrevs=[tf.uniform(priors[0]), tf.uniform(priors[1])],
+        verbose=False, rundir=str(tmp_path / "runs"), **kw)
+    g.sample(n, seed=seed)
+    g.change_yconrevs([tf.meanstd(g.y[:, 0])])
+    return g
+
+
+def test_truncate_fit(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path)
+    g.fit(method="map", truncate=True)
+    # truncated menu bounds (gpmcmc.py:201-205)
+    assert 1e-15 <= float(g.hypers["gv"]) <= 1.0
+    assert (np.asarray(g.hypers["l"]) >= 1e-3).all()
+    assert (np.asarray(g.hypers["l"]) <= 100.0).all()
+    assert (np.asarray(g.hypers["kv"]) >= 1e-1).all()
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+
+
+def test_ratquad_fit(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, kernel="RatQuad")
+    g.change_model("RatQuad")
+    g.fit(method="map")
+    assert "alpha" in g.hypers and float(g.hypers["alpha"]) > 0
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+
+
+def test_kernel_algebra_fit(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path)
+    g.change_model("RBF+Matern52")
+    g.fit(method="map")
+    assert np.asarray(g.hypers["l"]).shape == (4,)  # nx * nkern
+    assert np.asarray(g.hypers["kv"]).shape == (2,)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+
+
+def test_restarts(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=25)
+    g.fit(method="map", restarts=3)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+
+
+def test_none_with_cwgp(tmp_path, monkeypatch):
+    """method='none' must rebind converted data with existing hypers
+    (gpmcmc.py:390-399) including the cwgp warper state."""
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path)
+    g.change_yconrevs([tf.wgp(
+        ["meanstd", "sinharcsinh"], np.array([0.0, 1.0]), y=g.y[:, 0])])
+    g.fit(method="map", cwgp=True)
+    h0 = {k: np.array(v) for k, v in g.hypers.items()}
+    p0 = g.predict(g.x[:5])
+    g.fit(method="none", cwgp=True)
+    for k in h0:
+        np.testing.assert_array_equal(np.asarray(g.hypers[k]), h0[k])
+    np.testing.assert_allclose(g.predict(g.x[:5]), p0, rtol=1e-9)
+
+
+def test_test_plots_with_map_fit(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(3)
+    g = _make(tmp_path, n=60)
+    g.fit(method="map")
+    g.train_test(training_frac=0.8)
+    out = g.test_plots(yplots=False, xplots=False, method="map",
+                       returndat=True)
+    xtest, ytest, ypred, yvars = out
+    assert len(xtest) == len(ytest) == len(ypred) == 12
+    r2 = 1 - np.sum((ypred - ytest) ** 2) / np.sum(
+        (ytest - np.mean(g.y)) ** 2)
+    assert r2 > 0.999
+
+
+def test_test_plots_unreverted(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(4)
+    g = _make(tmp_path, n=50)
+    g.fit(method="map")
+    g.train_test()
+    out = g.test_plots(revert=False, yplots=False, xplots=False,
+                       method="map", returndat=True)
+    xtest, ytest, ypred, yvars = out
+    # converted space: ytest passed through the yconrev
+    assert np.abs(ypred - ytest).max() < 0.5
+
+
+def test_y_dist_surrogate(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    monkeypatch.setattr(plt, "show", lambda: None)
+    g = _make(tmp_path, n=40)
+    g.fit(method="map")
+    xs, ys = g.y_dist(mode="hist_kde", nsamps=200, return_data=True)
+    assert xs.shape == (200, 2) and ys.shape == (200, 1)
+    ytrue = np.array([_toy(x)[0] for x in xs])
+    # surrogate forward UQ close to truth (tutorial cells 34-40)
+    assert abs(ys.mean() - ytrue.mean()) < 0.05
