@@ -290,27 +290,44 @@ def _find_reasonable_eps(key, z, U, grad, inv_mass, U_and_grad):
     return eps
 
 
-@partial(jax.jit, static_argnames=(
-    "logp_fn", "num_warmup", "num_samples", "max_treedepth", "dim"))
-def _run_chain(key, z_init, logp_fn, num_warmup, num_samples,
-               target_accept, max_treedepth, dim):
-    """One full adaptive chain.  vmapped over chains by the caller."""
+@partial(jax.jit, static_argnames=("logp_fn", "dim"))
+def _init_chain(key, z_init, logp_fn, dim):
+    """Initial state: gradient cache, reasonable step size, unit mass."""
 
     def U_and_grad(z):
         lp, g = jax.value_and_grad(logp_fn)(z)
         return -lp, -g
 
     U0, grad0 = U_and_grad(z_init)
-
-    keps, krun = jax.random.split(key)
     inv_mass0 = jnp.ones(dim, z_init.dtype)
     eps0 = _find_reasonable_eps(
-        keps, z_init, U0, grad0, inv_mass0, U_and_grad)
+        key, z_init, U0, grad0, inv_mass0, U_and_grad)
     da0 = _da_init(eps0)
+    welford0 = (
+        jnp.asarray(0.0, z_init.dtype),
+        jnp.zeros(dim, z_init.dtype),
+        jnp.zeros(dim, z_init.dtype),
+    )
+    return (z_init, U0, grad0, da0, inv_mass0, welford0)
+
+
+@partial(jax.jit, static_argnames=(
+    "logp_fn", "num_warmup", "max_treedepth", "chunk"))
+def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
+               target_accept, max_treedepth, chunk):
+    """Advance one chain by `chunk` transitions (vmapped over chains by
+    the caller).  Sampling is chunked into bounded device executions: a
+    single multi-minute execution of the full scan crashes this
+    platform's TPU worker (watchdog)."""
+
+    def U_and_grad(z):
+        lp, g = jax.value_and_grad(logp_fn)(z)
+        return -lp, -g
 
     # Welford mass window [0.15W, 0.95W)
     w_start = jnp.asarray(int(0.15 * num_warmup))
-    w_end = jnp.asarray(max(int(0.95 * num_warmup), int(0.15 * num_warmup) + 1))
+    w_end = jnp.asarray(
+        max(int(0.95 * num_warmup), int(0.15 * num_warmup) + 1))
 
     def step(carry, inp):
         step_idx, key = inp
@@ -358,53 +375,68 @@ def _run_chain(key, z_init, logp_fn, num_warmup, num_samples,
         }
         return (z, U, grad, da, inv_mass, welford), out
 
-    total = num_warmup + num_samples
-    keys = jax.random.split(krun, total)
-    welford0 = (
-        jnp.asarray(0.0, z_init.dtype),
-        jnp.zeros(dim, z_init.dtype),
-        jnp.zeros(dim, z_init.dtype),
-    )
-    carry0 = (z_init, U0, grad0, da0, inv_mass0, welford0)
-    steps = (jnp.arange(total), keys)
-    _, hist = jax.lax.scan(step, carry0, steps)
-    # return post-warmup draws only
-    post = jax.tree_util.tree_map(lambda a: a[num_warmup:], hist)
-    return post
+    steps = (step_start + jnp.arange(chunk), keys)
+    return jax.lax.scan(step, carry, steps)
 
 
 def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                 num_chains=4, target_accept=0.8, max_treedepth=10,
-                jitter_init=1.0, shard=True):
+                jitter_init=1.0, shard=True, steps_per_call=100):
     """Run `num_chains` adaptive NUTS chains, vmapped and (optionally)
     sharded over available devices.
 
     logp_fn: unconstrained log posterior, R^dim -> R.
     z0: (dim,) initial point; chains start at z0 + U(-jitter, jitter)
     (PyMC's jitter+adapt_diag init).
+    Sampling advances in `steps_per_call` chunks (one compiled stepper
+    re-invoked from the host) so no single device execution runs long
+    enough to trip runtime watchdogs.
     Returns dict of stacked arrays with leading (chains, draws).
     """
     dim = int(np.asarray(z0).shape[0])
-    kinit, krun = jax.random.split(key)
+    kinit, keps, krun = jax.random.split(key, 3)
     z_inits = jnp.asarray(z0)[None, :] + jax.random.uniform(
         kinit, (num_chains, dim), minval=-jitter_init, maxval=jitter_init,
         dtype=jnp.asarray(z0).dtype)
-    chain_keys = jax.random.split(krun, num_chains)
-
-    run = jax.vmap(
-        lambda k, z: _run_chain(
-            k, z, logp_fn, num_warmup, num_samples, target_accept,
-            max_treedepth, dim))
+    eps_keys = jax.random.split(keps, num_chains)
+    total = num_warmup + num_samples
+    step_keys = jax.random.split(krun, num_chains * total).reshape(
+        num_chains, total, 2)
 
     if shard and jax.device_count() > 1 and num_chains % jax.device_count() == 0:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         mesh = Mesh(np.array(jax.devices()), ("chains",))
         sharding = NamedSharding(mesh, P("chains"))
-        chain_keys = jax.device_put(chain_keys, sharding)
+        eps_keys = jax.device_put(eps_keys, sharding)
         z_inits = jax.device_put(z_inits, sharding)
+        step_keys = jax.device_put(step_keys, sharding)
 
-    return run(chain_keys, z_inits)
+    init = jax.vmap(lambda k, z: _init_chain(k, z, logp_fn, dim))
+    carry = init(eps_keys, z_inits)
+
+    chunk = min(steps_per_call, total)
+    # pad total to a chunk multiple; surplus steps are discarded
+    n_calls = -(-total // chunk)
+    run = jax.vmap(
+        lambda c, ks, s0: _run_chunk(
+            c, ks, s0, logp_fn, num_warmup, target_accept, max_treedepth,
+            chunk),
+        in_axes=(0, 0, None))
+    outs = []
+    for ci in range(n_calls):
+        s0 = ci * chunk
+        nk = min(chunk, total - s0)
+        ks = step_keys[:, s0 : s0 + chunk]
+        if nk < chunk:  # reuse tail keys for padded steps; sliced off below
+            pad = jnp.repeat(ks[:, -1:], chunk - nk, axis=1)
+            ks = jnp.concatenate([ks[:, :nk], pad], axis=1)
+        carry, hist = run(carry, ks, jnp.asarray(s0))
+        outs.append(jax.tree_util.tree_map(lambda a: a[:, :nk], hist))
+    hist = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *outs)
+    # post-warmup draws only
+    return jax.tree_util.tree_map(lambda a: a[:, num_warmup:], hist)
 
 
 # ---------------------------------------------------------------------------
