@@ -98,3 +98,50 @@ def test_mixed_nlml_smooth_kernel_matrix(rng):
     mixed = float(precision.mixed_nlml(K, y, block=256))
     assert np.isfinite(mixed)
     assert abs(mixed - exact) / abs(exact) < 1e-6, (mixed, exact)
+
+def test_bigfit_gradients_match_autodiff(rng):
+    """Closed-form mixed-path gradients vs autodiff of the exact f64 NLML."""
+    import jax
+    from andvaranaut_tpu.gp import bigfit, kernels
+
+    n, nx = 96, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
+
+    def exact_logl(z):
+        gv = jnp.exp(z[0])
+        l = jnp.exp(z[1 : 1 + nx])
+        kv = jnp.exp(z[1 + nx])
+        K = kernels.gram(("RBF",), (), jnp.asarray(X), None, l,
+                         kv[None], None)
+        K = K + (1e-6 + gv) * jnp.eye(n)
+        return engine.chol_nlml(K, jnp.asarray(y))
+
+    z = jnp.asarray([-6.0, -0.5, 0.2, 0.3])
+    v0 = float(exact_logl(z))
+    g0 = np.asarray(jax.grad(exact_logl)(z))
+    v1, g1 = bigfit.rbf_nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=48)
+    np.testing.assert_allclose(float(v1), v0, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g1), g0, rtol=1e-5, atol=1e-6)
+
+
+def test_bigfit_matches_engine_map(rng):
+    """big_map_fit must land on the same MAP as the exact-f64 engine."""
+    from andvaranaut_tpu.gp import bigfit
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n = 80
+    X = rng.uniform(size=(n, 2))
+    y = (np.sin(3 * X[:, 0]) + X[:, 1] ** 2 +
+         0.01 * rng.normal(size=n))
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y.reshape(-1, 1))
+    h0, lp0 = engine.map_fit(cfg)
+    h1, lp1 = bigfit.big_map_fit(X, y, block=48)
+    np.testing.assert_allclose(h1["l"], h0["l"], rtol=2e-2)
+    np.testing.assert_allclose(h1["kv"], h0["kv"], rtol=5e-2)
+    assert abs(lp1 - lp0) < 0.05 * abs(lp0) + 0.5
