@@ -128,6 +128,11 @@ def big_map_fit(X, y, noise: bool = True, jitter: float = 1e-6,
         lp, gp_ = prior_grad(z)
         val = -(float(logl) + float(lp))
         grad = -(np.asarray(g) + np.asarray(gp_))
+        if not np.isfinite(val) or not np.isfinite(grad).all():
+            # factorisation left its numerical range (extreme
+            # hyperparameters); steer the line search back
+            val = 1e12
+            grad = np.nan_to_num(grad, nan=0.0, posinf=0.0, neginf=0.0)
         if verbose:
             print(f"  nlp={val:.6f}")
         return val, grad
@@ -135,7 +140,13 @@ def big_map_fit(X, y, noise: bool = True, jitter: float = 1e-6,
     z0 = (
         np.asarray(rvpack.pack_values(start)) if start is not None
         else np.asarray(rvpack.z0()))
-    res = minimize(fun, z0, jac=True, method="L-BFGS-B",
+    # log-space box keeps the factorisation in its numerical range
+    bounds = []
+    if noise:
+        bounds.append((np.log(1e-12), np.log(1e2)))
+    bounds += [(np.log(1e-3), np.log(1e3))] * nx
+    bounds.append((np.log(1e-6), np.log(1e6)))
+    res = minimize(fun, z0, jac=True, method="L-BFGS-B", bounds=bounds,
                    options={"maxiter": maxiter})
     vals = rvpack.unpack(jnp.asarray(res.x))
     hypers = {k: np.asarray(v) for k, v in vals.items()}
