@@ -282,8 +282,27 @@ class GPMCMC(LHC):
         data = None
         if method == "map":
             start = kwargs.pop("start", None)
-            mp, _logp = engine.map_fit(
-                cfg, start=start, restarts=restarts, **kwargs)
+            precision_ = kwargs.pop("precision", "f64")
+            if precision_ == "mixed":
+                # large-N path: closed-form gradients through the
+                # int8-Ozaki blocked factorisation (gp/bigfit.py)
+                from .gp import bigfit
+
+                if (tuple(self.kerns) != ("RBF",) or iwgp or cwgp):
+                    raise Exception(
+                        "precision='mixed' fitting currently supports the "
+                        "plain RBF kernel without learnable warpings")
+                xin = np.zeros_like(x)
+                for i in range(self.nx):
+                    xin[:, i] = np.asarray(
+                        self.xconrevs[i].con(x[:, i]))
+                yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
+                mp, _logp = bigfit.big_map_fit(
+                    xin, yin, noise=self.noise, jitter=jitter,
+                    start=start, **kwargs)
+            else:
+                mp, _logp = engine.map_fit(
+                    cfg, start=start, restarts=restarts, **kwargs)
         elif method == "none":
             mp = self.hypers
             if mp is None:

@@ -127,3 +127,22 @@ def test_y_dist_surrogate(tmp_path, monkeypatch):
     ytrue = np.array([_toy(x)[0] for x in xs])
     # surrogate forward UQ close to truth (tutorial cells 34-40)
     assert abs(ys.mean() - ytrue.mean()) < 0.05
+
+
+def test_fit_precision_mixed(tmp_path, monkeypatch):
+    """fit(precision='mixed') routes through the large-N engine and lands
+    on (essentially) the same MAP as the exact path."""
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=60, seed=2)
+    g.fit(method="map")
+    h0 = {k: np.array(v) for k, v in g.hypers.items()}
+    g.fit(method="map", precision="mixed")
+    np.testing.assert_allclose(g.hypers["l"], h0["l"], rtol=5e-2)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+    # unsupported combos raise clearly
+    g.change_model("Matern52")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        g.fit(method="map", precision="mixed")
