@@ -215,21 +215,6 @@ def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _pad_mask_gram(kerns, ops, xin, valid, l, kv, alpha, gv, jitter):
-    """Gram over padded inputs with phantom rows replaced by an identity
-    block: K_pad = diag(K_real + (jitter+gv) I, I), so padded NLML terms
-    contribute exactly zero (log 1 diag, zero quadratic form)."""
-    npad = xin.shape[0]
-    K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
-    vv = valid.astype(K.dtype)
-    K = K * (vv[:, None] * vv[None, :])
-    K = K + jnp.diag(1.0 - vv) + jnp.eye(npad, dtype=K.dtype) * (
-        (jitter + gv) * 1.0) * jnp.diag(vv).sum() / jnp.diag(vv).sum()
-    # note: jitter+gv must apply to REAL rows only
-    K = K - jnp.eye(npad, dtype=K.dtype) * (jitter + gv) * (1.0 - vv)
-    return K
-
-
 def make_fit_program(kerns, ops, noise: bool, truncate: bool, jitter: float,
                      nx: int, max_iter: int = 500, tol: float = 1e-8,
                      precision: str = "f64", chol_block: int = 2048):

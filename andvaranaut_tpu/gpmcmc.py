@@ -17,7 +17,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import transform as tflib
 from .gp import engine, kernels, quad
 from .lhc import LHC, _none_conrev
 from .transform import wgp
