@@ -1,0 +1,133 @@
+"""Pallas TPU kernel for the integer-Ozaki slice matmul.
+
+`precision.int_slice_matmul` dispatches ~21 separate int8 dot_generals,
+each round-tripping an (m, n) int32 partial through HBM.  This kernel
+fuses the whole slice-pair reduction per output tile: all pair products
+accumulate in VMEM int32 scratch grouped by slice order, and the groups
+are combined with exact power-of-two weights into a two-float (hi, lo)
+f32 pair — one HBM write per tile, no f64 inside the kernel (Pallas TPU
+has no f64; the f64 result is assembled outside from the pair).
+
+Numerically identical (up to f32-pair representation, ~2^-48) to the
+XLA-composed version; parity-tested against it in interpret mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .._config import interpret_mode
+from . import precision
+
+_TM = 256
+_TN = 256
+_TK = 256
+
+
+def _two_sum(hi, lo, x):
+    """Error-free (Knuth) accumulation of x into the (hi, lo) f32 pair."""
+    s = hi + x
+    # Neumaier compensation
+    comp = jnp.where(
+        jnp.abs(hi) >= jnp.abs(x), (hi - s) + x, (x - s) + hi)
+    return s, lo + comp
+
+
+def _kernel(nslices, nk, *refs):
+    """One (TM, TN) output tile; grid dim 2 iterates k-chunks.
+
+    refs: a_0..a_{ns-1} (TM, TK) int8, b_0..b_{ns-1} (TK, TN) int8,
+    hi/lo (TM, TN) f32 outputs, then ns (TM, TN) int32 group scratches.
+    """
+    a_refs = refs[:nslices]
+    b_refs = refs[nslices : 2 * nslices]
+    hi_ref, lo_ref = refs[2 * nslices], refs[2 * nslices + 1]
+    acc_refs = refs[2 * nslices + 2 :]
+    kidx = pl.program_id(2)
+
+    @pl.when(kidx == 0)
+    def _():
+        for acc in acc_refs:
+            acc[:] = jnp.zeros_like(acc)
+
+    for i in range(nslices):
+        for j in range(nslices - i):
+            p = jax.lax.dot_general(
+                a_refs[i][:], b_refs[j][:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_refs[i + j][:] += p
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        hi = jnp.zeros_like(hi_ref)
+        lo = jnp.zeros_like(lo_ref)
+        for s in range(nslices):
+            g = acc_refs[s][:]
+            # group sums exceed 2^24: split exactly in integer space so
+            # each f32 conversion is lossless.  Arithmetic shifts (floor
+            # semantics) in int32 — `// 4096` promotes through int64 under
+            # x64 and breaks kernel tracing.
+            ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
+            glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
+            w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
+            hi, lo = _two_sum(
+                hi, lo, ghi.astype(jnp.float32) * (w * 4096.0))
+            hi, lo = _two_sum(hi, lo, glo.astype(jnp.float32) * w)
+        hi_ref[:] = hi
+        lo_ref[:] = lo
+
+
+@partial(jax.jit, static_argnames=("nslices",))
+def pallas_int_slice_matmul(A, B, nslices: int = 6):
+    """C = A @ B via the fused integer-Ozaki Pallas kernel.
+
+    Same scaling/slicing as precision.int_slice_matmul; the pair-product
+    reduction runs in one kernel.
+    """
+    out_dtype = A.dtype
+    m, k = A.shape
+    _, n = B.shape
+    sA = precision._pow2_row_scales(A, axis=1)
+    sB = precision._pow2_row_scales(B, axis=0)
+    a_sl = precision._int_slices(A / sA, nslices)
+    b_sl = precision._int_slices(B / sB, nslices)
+
+    mp = -(-m // _TM) * _TM
+    np_ = -(-n // _TN) * _TN
+    kp = -(-k // _TK) * _TK
+    if (mp, kp) != (m, k):
+        a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
+    if (kp, np_) != (k, n):
+        b_sl = [jnp.pad(b, ((0, kp - k), (0, np_ - n))) for b in b_sl]
+    nk = kp // _TK
+
+    a_spec = pl.BlockSpec((_TM, _TK), lambda i, j, kk: (i, kk),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((_TK, _TN), lambda i, j, kk: (kk, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((_TM, _TN), lambda i, j, kk: (i, j),
+                          memory_space=pltpu.VMEM)
+    hi, lo = pl.pallas_call(
+        partial(_kernel, nslices, nk),
+        grid=(mp // _TM, np_ // _TN, nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices,
+        out_specs=(o_spec, o_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+        ],
+        interpret=interpret_mode(),
+    )(*a_sl, *b_sl)
+    C = hi[:m, :n].astype(out_dtype) + lo[:m, :n].astype(out_dtype)
+    return C * (sA * sB)

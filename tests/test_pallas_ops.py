@@ -32,3 +32,19 @@ def test_pallas_gram_f32(rng):
         jnp.asarray(X.astype(np.float64)), jnp.asarray(ls.astype(np.float64))))
     assert ours.dtype == np.float32
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_int_slice_matmul_parity(rng):
+    """Fused integer-Ozaki kernel (interpret mode) vs the XLA-composed
+    reduction: must agree to pair-representation accuracy."""
+    from andvaranaut_tpu.gp import pallas_slicemm, precision
+    import jax.numpy as jnp
+
+    A = rng.normal(size=(130, 300)) * np.exp(rng.normal(size=(130, 1)) * 2)
+    B = rng.normal(size=(300, 70))
+    Cf = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B)))
+    Cx = np.asarray(precision.int_slice_matmul(jnp.asarray(A), jnp.asarray(B)))
+    scale = np.abs(A @ B).max()
+    assert np.abs(Cf - Cx).max() / scale < 1e-12
+    assert np.abs(Cf - A @ B).max() / scale < 1e-9
