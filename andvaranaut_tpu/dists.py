@@ -29,6 +29,7 @@ __all__ = [
     "TruncNorm",
     "LogNormal",
     "HalfNormal",
+    "ScipyDist",
     "from_prior",
     "is_distribution_like",
 ]
@@ -347,6 +348,75 @@ class HalfNormal(Distribution):
 # scipy interop
 # ---------------------------------------------------------------------------
 
+class ScipyDist(Distribution):
+    """Host-side passthrough for an arbitrary frozen distribution.
+
+    The reference accepts ANY ``scipy.stats`` frozen distribution as a prior
+    (core.py:65-69) and the host-side paths only ever need
+    ppf/isf/cdf/rvs/interval (LHC column mapping lhc.py:46, BO bounds
+    gpmcmc.py:635-637, eps-RS rvs gpmcmc.py:697).  Families without a
+    JAX-native implementation are wrapped here: every method defers to the
+    frozen object on host (numpy in/out, converted to jnp on return), so
+    e.g. ``st.beta``/``st.gamma`` priors run the full LHC/GPMCMC/BO
+    workflow unchanged.  Not traceable — using one where device-side logpdf
+    is required (inverse_opt unknown-x priors) raises at that call site.
+    """
+
+    def __init__(self, frozen):
+        for m in ("ppf", "cdf", "rvs"):
+            if not callable(getattr(frozen, m, None)):
+                raise TypeError(
+                    f"{frozen!r} lacks .{m}(); not a frozen distribution")
+        self.frozen = frozen
+
+    def __repr__(self):
+        return f"ScipyDist({self.frozen!r})"
+
+    def _host(self, method, *args, **kw):
+        import numpy as _np
+
+        out = getattr(self.frozen, method)(
+            *(_np.asarray(a) if hasattr(a, "shape") or isinstance(
+                a, (list, tuple)) else a for a in args), **kw)
+        return jnp.asarray(out, dtype=default_dtype)
+
+    def ppf(self, q):
+        return self._host("ppf", q)
+
+    def isf(self, q):
+        return self._host("isf", q)
+
+    def cdf(self, x):
+        return self._host("cdf", x)
+
+    def sf(self, x):
+        return self._host("sf", x)
+
+    def logpdf(self, x):
+        return self._host("logpdf", x)
+
+    def pdf(self, x):
+        return self._host("pdf", x)
+
+    def mean(self):
+        return self._host("mean")
+
+    def std(self):
+        return self._host("std")
+
+    def interval(self, alpha=1.0):
+        lo, hi = self.frozen.interval(float(alpha))
+        return jnp.asarray(lo, default_dtype), jnp.asarray(hi, default_dtype)
+
+    def rvs(self, size=None, *, key=None, random_state=None):
+        if key is not None:
+            # derive a scipy-usable seed from the jax key deterministically
+            random_state = int(jax.random.randint(
+                key, (), 0, 2**31 - 1))
+        out = self.frozen.rvs(size=size, random_state=random_state)
+        return jnp.asarray(out, dtype=default_dtype)
+
+
 _SCIPY_MODULE = "scipy.stats._distn_infrastructure"
 
 
@@ -363,31 +433,36 @@ def is_distribution_like(obj) -> bool:
 
 
 def from_prior(obj) -> Distribution:
-    """Convert a prior specification (ours, or a scipy frozen distribution of
-    a supported family) into a JAX-native Distribution."""
+    """Convert a prior specification into a Distribution.
+
+    Fast scipy families (uniform/norm/truncnorm/lognorm/halfnorm — the only
+    ones the reference tutorial and inverse problems use) become JAX-native
+    distributions usable inside jitted code; any OTHER frozen distribution
+    (scipy or duck-typed with ppf/cdf/rvs) is wrapped in a host-side
+    :class:`ScipyDist` passthrough, matching the reference's acceptance of
+    arbitrary scipy.stats priors (core.py:65-69)."""
     if isinstance(obj, Distribution):
         return obj
-    if not _is_scipy_frozen(obj):
-        raise TypeError(
-            f"Cannot interpret {obj!r} as a prior distribution; pass an "
-            "andvaranaut_tpu.dists.Distribution or a scipy.stats frozen "
-            "distribution (uniform/norm/truncnorm/lognorm/halfnorm)."
-        )
-    name = obj.dist.name
-    shapes, loc, scale = obj.dist._parse_args(*obj.args, **obj.kwds)
-    if name == "uniform":
-        return Uniform(loc=loc, scale=scale)
-    if name == "norm":
-        return Normal(loc=loc, scale=scale)
-    if name == "truncnorm":
-        a, b = shapes
-        return TruncNorm(a=a, b=b, loc=loc, scale=scale)
-    if name == "lognorm":
-        (s,) = shapes
-        return LogNormal(s=s, loc=loc, scale=scale)
-    if name == "halfnorm":
-        return HalfNormal(loc=loc, scale=scale)
+    if _is_scipy_frozen(obj) and hasattr(obj, "dist"):
+        name = obj.dist.name
+        shapes, loc, scale = obj.dist._parse_args(*obj.args, **obj.kwds)
+        if name == "uniform":
+            return Uniform(loc=loc, scale=scale)
+        if name == "norm":
+            return Normal(loc=loc, scale=scale)
+        if name == "truncnorm":
+            a, b = shapes
+            return TruncNorm(a=a, b=b, loc=loc, scale=scale)
+        if name == "lognorm":
+            (s,) = shapes
+            return LogNormal(s=s, loc=loc, scale=scale)
+        if name == "halfnorm":
+            return HalfNormal(loc=loc, scale=scale)
+        return ScipyDist(obj)
+    if all(callable(getattr(obj, m, None)) for m in ("ppf", "cdf", "rvs")):
+        return ScipyDist(obj)
     raise TypeError(
-        f"scipy.stats distribution family '{name}' is not supported; "
-        "supported families: uniform, norm, truncnorm, lognorm, halfnorm."
+        f"Cannot interpret {obj!r} as a prior distribution; pass an "
+        "andvaranaut_tpu.dists.Distribution, a scipy.stats frozen "
+        "distribution, or any object with ppf/cdf/rvs methods."
     )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .gp import engine, kernels, quad
-from .lhc import LHC, _none_conrev
+from .lhc import LHC, _convert_columns, _none_conrev, _validated_conrevs
 from .transform import wgp
 
 __all__ = ["GPMCMC"]
@@ -85,12 +85,11 @@ class GPMCMC(LHC):
     def __init__(self, xconrevs=None, yconrevs=None, kernel="RBF",
                  noise=True, mean=0, **kwargs):
         super().__init__(**kwargs)
-        self.xc = copy.deepcopy(self.x)
-        self.yc = copy.deepcopy(self.y)
+        self.ym = copy.deepcopy(self.y)
         self.__conrev_check(xconrevs, yconrevs)
+        self._reconvert()
         self.change_model(kernel, noise, mean)
         self.__scrub_train_test()
-        self.ym = copy.deepcopy(self.y)
 
     # -- mean function ---------------------------------------------------
     def zero_mean(self, x):
@@ -106,93 +105,47 @@ class GPMCMC(LHC):
                          for i in range(len(x))])
 
     # -- conversion plumbing (mean-aware, gpmcmc.py:47-137) --------------
-    def __con(self, nsamps):
-        self.xc = np.r_[self.xc, np.zeros((nsamps, self.nx))]
-        self.yc = np.r_[self.yc, np.zeros((nsamps, self.ny))]
-        for i in range(self.nx):
-            self.xc[-nsamps:, i] = np.asarray(
-                self.xconrevs[i].con(self.x[-nsamps:, i]))
-        for i in range(self.ny):
-            self.yc[-nsamps:, i] = np.asarray(self.yconrevs[i].con(
-                self.y[-nsamps:, i] - self.ym[-nsamps:, i]))
+    # Unlike _surrogate, the converted outputs are of the MEAN-SUBTRACTED
+    # targets: yc = ycon(y - ym) (reference gpmcmc.py:53-54).  All converted
+    # copies are rebuilt wholesale from (x, y, ym) through one helper —
+    # transforms are deterministic given their fitted state, so there is
+    # nothing to gain from the reference's incremental per-mode mirroring.
+    def _reconvert(self):
+        self.xc = _convert_columns(self.xconrevs, self.x)
+        self.yc = _convert_columns(self.yconrevs, self.y - self.ym)
 
     def del_samples(self, ndels=None, method="coarse_lhc", idx=None):
-        returned = super()._LHC__del_samples(ndels, method, idx, returns=True)
-        if method == "coarse_lhc":
-            for i in range(ndels):
-                self.xc = np.delete(self.xc, returned[i], axis=0)
-                self.yc = np.delete(self.yc, returned[i], axis=0)
-                self.ym = np.delete(self.ym, returned[i], axis=0)
-        elif method == "random":
-            self.xc = self.xc[returned, :]
-            self.yc = self.yc[returned, :]
-            self.ym = self.ym[returned, :]
-        elif method == "specific":
-            self.xc = self.xc[returned]
-            self.yc = self.yc[returned]
-            self.ym = self.ym[returned]
+        keep = self._LHC__keep_mask(ndels, method, idx)
+        for name in ("x", "y", "xc", "yc", "ym"):
+            setattr(self, name, getattr(self, name)[keep])
         self.nsamp = len(self.x)
         self.__scrub_train_test()
 
     def change_conrevs(self, xconrevs=None, yconrevs=None):
         self.__conrev_check(xconrevs, yconrevs)
-        for i in range(self.nx):
-            self.xc[:, i] = np.asarray(self.xconrevs[i].con(self.x[:, i]))
-        for i in range(self.ny):
-            self.yc[:, i] = np.asarray(self.yconrevs[i].con(
-                self.y[:, i] - self.ym[:, i]))
+        self._reconvert()
 
     def change_xconrevs(self, xconrevs=None):
         self.__conrev_check(xconrevs, yconrevs=self.yconrevs)
-        for i in range(self.nx):
-            self.xc[:, i] = np.asarray(self.xconrevs[i].con(self.x[:, i]))
+        self.xc = _convert_columns(self.xconrevs, self.x)
 
     def change_yconrevs(self, yconrevs=None):
         self.__conrev_check(self.xconrevs, yconrevs)
-        for i in range(self.ny):
-            self.yc[:, i] = np.asarray(self.yconrevs[i].con(
-                self.y[:, i] - self.ym[:, i]))
+        self.yc = _convert_columns(self.yconrevs, self.y - self.ym)
 
     def __conrev_check(self, xconrevs, yconrevs):
-        if xconrevs is None:
-            xconrevs = [None for _ in range(self.nx)]
-        if yconrevs is None:
-            yconrevs = [None for _ in range(self.ny)]
-        if not isinstance(xconrevs, list) or len(xconrevs) != self.nx:
-            raise Exception(
-                "Error: xconrevs must be None or list of conversion/"
-                "reversion classes of size nx")
-        if not isinstance(yconrevs, list) or len(yconrevs) != self.ny:
-            raise Exception(
-                "Error: yconrevs must be None or list of conversion/"
-                "reversion classes of size ny")
-        for j, cr in enumerate(xconrevs + yconrevs):
-            if cr is not None and (
-                not callable(getattr(cr, "con", None))
-                or not callable(getattr(cr, "rev", None))
-            ):
-                raise Exception(
-                    "Error: Provided data conversion/reversion function not "
-                    "callable.")
-            elif cr is None:
-                if j < self.nx:
-                    xconrevs[j] = _none_conrev()
-                else:
-                    yconrevs[j - self.nx] = _none_conrev()
-        self.xconrevs = xconrevs
-        self.yconrevs = yconrevs
+        self.xconrevs = _validated_conrevs(xconrevs, self.nx, "xconrevs")
+        self.yconrevs = _validated_conrevs(yconrevs, self.ny, "yconrevs")
 
     # -- data management -------------------------------------------------
     def set_data(self, x, y):
         super().set_data(x, y)
-        self.xc = np.empty((0, self.nx))
-        self.yc = np.empty((0, self.ny))
         xm, ym = self._core__vector_solver(self.x, self.mean)
         if len(xm) != len(self.x):
             raise Exception(
                 "Mean function not valid at every x point in dataset")
         self.ym = ym
-        self.__con(self.nsamp)
+        self._reconvert()
         self.__scrub_train_test()
 
     def y_dist(self, mode="hist_kde", nsamps=None, return_data=False,
@@ -219,10 +172,8 @@ class GPMCMC(LHC):
             raise Exception(
                 "Mean function not valid at every x point in dataset")
         self.ym = ym
-        self.xc = np.empty((0, self.nx))
-        self.yc = np.empty((0, self.ny))
         self.nsamp = len(xm)
-        self.__con(self.nsamp)
+        self._reconvert()
 
     # -- model configuration ---------------------------------------------
     def change_model(self, kernel=None, noise=None, mean=None):
@@ -458,90 +409,53 @@ class GPMCMC(LHC):
                    logscale=False, iwgp=False, cwgp=False, method="none",
                    errorbars=True, saveyfig=None, xlab=None, ylab=None,
                    returndat=False):
-        """Held-out fit assessment: RMSE/MAE/MPE/R2 + parity plots
-        (reference gpmcmc.py:933-1027)."""
+        """Held-out fit assessment: refit on the train split, predict the
+        test split, report RMSE/MAE/MPE/R2 and draw parity / per-input
+        scatter plots (same outputs as reference gpmcmc.py:933-1027)."""
         if self.train is None:
             self.train_test()
-        xtrain = self.x[self.train, :]
-        xtest = self.x[self.test, :]
-        ytrain = self.y[self.train, :]
-        ytest = self.y[self.test, :]
-        ymtrain = self.ym[self.train, :]
-        ymtest = self.ym[self.test, :]
+        tr, te = self.train, self.test
+        xtest = self.x[te]
 
-        m, gp, hypers, data = self.__fit(
-            xtrain, ytrain - ymtrain, method, iwgp, cwgp)
-        xctest = np.zeros_like(xtest)
-        for i in range(self.nx):
-            xctest[:, i] = np.asarray(self.xconrevs[i].con(xtest[:, i]))
+        m, gp, hypers, _ = self.__fit(
+            self.x[tr], self.y[tr] - self.ym[tr], method, iwgp, cwgp)
+        xctest = _convert_columns(self.xconrevs, xtest)
         ypred, yvars = self.__predict(m, gp, hypers, xctest)
 
         if revert:
-            ytest = ytest[:, 0]
             ypred, yvars = self.__gh_stats(
                 xtest, ypred, yvars, normvar=False)
-            ypred = ypred[:, 0]
-            yvars = yvars[:, 0]
-            meany = np.mean(self.y)
+            ytest = self.y[te, 0]
+            ybar = np.mean(self.y)
         else:
-            xtest = xctest
             ytest = np.asarray(
-                self.yconrevs[0].con(ytest[:, 0] - ymtest[:, 0]))
-            ypred = ypred[:, 0]
-            yvars = yvars[:, 0]
-            meany = np.mean(self.yc)
+                self.yconrevs[0].con(self.y[te, 0] - self.ym[te, 0]))
+            xtest = xctest
+            ybar = np.mean(self.yc)
+        ypred, yvars = ypred[:, 0], yvars[:, 0]
 
-        rmse = np.sqrt(np.mean(np.power(ypred - ytest, 2)))
-        mea = np.mean(np.abs(ypred - ytest))
-        mpe = np.mean(np.abs(ypred - ytest) / np.abs(ytest))
-        r2 = 1 - np.sum(np.power(ypred - ytest, 2)) / np.sum(
-            np.power(ytest - meany, 2))
+        metrics = _regression_metrics(ypred, ytest, ybar)
         if self.verbose:
-            print(f"RMSE for y is: {rmse:0.5e}")
-            print(f"Mean absoulte error for y is: {mea:0.5e}")
-            print(f"Mean percentage error for y is: {mpe:0.5%}")
-            print(f"R^2 for y is: {r2:0.5f}")
+            print(f"RMSE for y is: {metrics['rmse']:0.5e}")
+            print(f"Mean absolute error for y is: {metrics['mae']:0.5e}")
+            print(f"Mean percentage error for y is: {metrics['mpe']:0.5%}")
+            print(f"R^2 for y is: {metrics['r2']:0.5f}")
 
-        if yplots or xplots:
-            import matplotlib.pyplot as plt
-
-            if yplots:
-                plt.plot(ytest, ytest, "-", label="True")
-                if logscale:
-                    plt.plot(ytest, ypred, "o", label="GP")
-                    plt.xscale("log")
-                    plt.yscale("log")
-                elif errorbars:
-                    plt.errorbar(ytest, ypred, fmt="o",
-                                 yerr=np.sqrt(yvars), label="GP", capsize=3)
-                else:
-                    plt.plot(ytest, ypred, "x", label="GP")
-                plt.xlabel("y" if xlab is None else xlab)
-                plt.ylabel("y" if ylab is None else ylab)
-                plt.legend()
-                if saveyfig is not None:
-                    plt.tight_layout()
-                    plt.savefig(saveyfig, bbox_inches="tight")
-                else:
-                    plt.title("y")
-                plt.show()
-            if xplots:
-                for j in range(self.nx):
-                    plt.title(f"y wrt x[{j}]")
-                    plt.plot(xtest[:, j], ytest, ".", label="Test")
-                    if logscale:
-                        plt.plot(xtest[:, j], ypred, "o", label="GP")
-                        plt.yscale("log")
-                    elif errorbars:
-                        plt.errorbar(xtest[:, j], ypred, fmt="o",
-                                     yerr=np.sqrt(yvars), label="GP",
-                                     capsize=3)
-                    else:
-                        plt.plot(xtest[:, j], ypred, "o", label="GP")
-                    plt.ylabel("y")
-                    plt.xlabel(f"x[{j}]")
-                    plt.legend()
-                    plt.show()
+        if yplots:
+            _gp_scatter_plot(
+                ytest, ytest, ypred, yvars, logscale=logscale,
+                errorbars=errorbars, truth_style="-", truth_label="True",
+                points_fmt="x", log_x=True,
+                xlabel=("y" if xlab is None else xlab),
+                ylabel=("y" if ylab is None else ylab),
+                title="y", savefig=saveyfig)
+        if xplots:
+            for j in range(self.nx):
+                _gp_scatter_plot(
+                    xtest[:, j], ytest, ypred, yvars, logscale=logscale,
+                    errorbars=errorbars, truth_style=".", truth_label="Test",
+                    points_fmt="o", log_x=False, xlabel=f"x[{j}]",
+                    ylabel="y", title=f"y wrt x[{j}]")
 
         if returndat:
             return xtest, ytest, ypred, yvars
@@ -626,19 +540,32 @@ class GPMCMC(LHC):
 
         return acq
 
+    _BO_CACHE_MAX = 32
+
     def _get_bo_program(self, kind, method, opt_type, normvar, has_alpha):
         """Jitted BO programs cached per (kind, acquisition, model spec,
-        transform identity, data bucket) so BO iterations re-use compiled
+        transform CONTENT, data bucket) so BO iterations re-use compiled
         executables (a fresh trace per iteration costs ~a minute of XLA
-        compile on TPU)."""
+        compile on TPU).
+
+        Keys use transform content (type + parameter state) rather than
+        object identity: id() can be recycled after GC, silently returning
+        a program traced for a different warping.  The cache is bounded
+        (LRU) so long-running sessions cannot grow it without limit."""
+        from collections import OrderedDict
+
         key = (
             kind, method, opt_type, bool(normvar), self.kernel, self.noise,
-            tuple(id(c) for c in self.xconrevs), id(self.yconrevs[0]),
+            tuple(_transform_content_key(c) for c in self.xconrevs),
+            _transform_content_key(self.yconrevs[0]),
             engine.round_up(max(len(self.xc), 1), GPState.BUCKET),
             has_alpha)
-        cache = self.__dict__.setdefault("_bo_cache", {})
+        cache = self.__dict__.setdefault("_bo_cache", OrderedDict())
         if key in cache:
+            cache.move_to_end(key)
             return cache[key]
+        while len(cache) >= self._BO_CACHE_MAX:
+            cache.popitem(last=False)
         acq = self._acq_fn(method, opt_type, normvar, has_alpha)
         if kind == "batch":
             run = jax.jit(acq)
@@ -1040,22 +967,91 @@ class GPMCMC(LHC):
 
     # -- conversion shortcuts (gpmcmc.py:909-929) -------------------------
     def __yconrev__(self, yin, mode="con"):
-        yout = np.zeros_like(yin)
-        if mode == "con":
-            yout[:, 0] = np.asarray(self.yconrevs[0].con(yin[:, 0]))
-        elif mode == "rev":
-            yout[:, 0] = np.asarray(self.yconrevs[0].rev(yin[:, 0]))
-        else:
-            raise Exception("Error: Mode must be one of con or rev")
-        return yout
+        return _apply_conrevs(self.yconrevs, yin, mode)
 
     def __xconrev__(self, xin, mode="con"):
-        xout = np.zeros_like(xin)
-        for i in range(self.nx):
-            if mode == "con":
-                xout[:, i] = np.asarray(self.xconrevs[i].con(xin[:, i]))
-            elif mode == "rev":
-                xout[:, i] = np.asarray(self.xconrevs[i].rev(xin[:, i]))
-            else:
-                raise Exception("Error: Mode must be one of con or rev")
-        return xout
+        return _apply_conrevs(self.xconrevs, xin, mode)
+
+
+# ---------------------------------------------------------------------------
+# module helpers
+# ---------------------------------------------------------------------------
+
+def _transform_content_key(cr, depth: int = 6):
+    """Hashable content key for a transform object: type plus parameter
+    state (recursing into nested stages/distributions), so BO program
+    caching survives refits that rebuild transform objects with identical
+    parameters and never aliases different ones.  State that cannot be
+    content-hashed within the depth budget falls back to id(), which at
+    worst costs a retrace — never a wrong program."""
+    if isinstance(cr, (int, float, str, bool, type(None))):
+        return cr
+    if isinstance(cr, (list, tuple)):
+        if depth <= 0:
+            return id(cr)
+        return tuple(_transform_content_key(v, depth - 1) for v in cr)
+    if hasattr(cr, "shape"):
+        a = np.asarray(cr)
+        return (a.shape, a.dtype.str, a.tobytes())
+    import types
+
+    if isinstance(cr, (types.FunctionType, types.MethodType,
+                       types.BuiltinFunctionType)):
+        return id(cr)
+    state = getattr(cr, "__dict__", None)
+    if depth > 0 and isinstance(state, dict):
+        return (type(cr).__qualname__,) + tuple(
+            (k, _transform_content_key(state[k], depth - 1))
+            for k in sorted(state))
+    return id(cr)
+
+
+def _apply_conrevs(conrevs, arr, mode):
+    """Column-wise convert ('con') or revert ('rev') through a conrev list."""
+    if mode not in ("con", "rev"):
+        raise Exception("Error: Mode must be one of con or rev")
+    return np.column_stack([
+        np.asarray(getattr(cr, mode)(arr[:, i]), dtype=np.float64)
+        for i, cr in enumerate(conrevs)])
+
+
+def _regression_metrics(ypred, ytrue, ybar):
+    """Held-out fit metrics: RMSE, MAE, mean percentage error, R^2
+    (the quantities reference test_plots reports, gpmcmc.py:967-976)."""
+    err = ypred - ytrue
+    return {
+        "rmse": float(np.sqrt(np.mean(err ** 2))),
+        "mae": float(np.mean(np.abs(err))),
+        "mpe": float(np.mean(np.abs(err) / np.abs(ytrue))),
+        "r2": 1.0 - float(np.sum(err ** 2)) / float(
+            np.sum((ytrue - ybar) ** 2)),
+    }
+
+
+def _gp_scatter_plot(xvals, ytrue, ypred, yvars, *, logscale, errorbars,
+                     truth_style, truth_label, points_fmt, log_x,
+                     xlabel, ylabel, title=None, savefig=None):
+    """One GP-vs-truth scatter panel: truth overlay, then predictions as
+    log-log points, error bars, or plain markers."""
+    import matplotlib.pyplot as plt
+
+    if title is not None and savefig is None:
+        plt.title(title)
+    plt.plot(xvals, ytrue, truth_style, label=truth_label)
+    if logscale:
+        plt.plot(xvals, ypred, "o", label="GP")
+        if log_x:
+            plt.xscale("log")
+        plt.yscale("log")
+    elif errorbars:
+        plt.errorbar(xvals, ypred, fmt="o", yerr=np.sqrt(yvars),
+                     label="GP", capsize=3)
+    else:
+        plt.plot(xvals, ypred, points_fmt, label="GP")
+    plt.xlabel(xlabel)
+    plt.ylabel(ylabel)
+    plt.legend()
+    if savefig is not None:
+        plt.tight_layout()
+        plt.savefig(savefig, bbox_inches="tight")
+    plt.show()

@@ -551,6 +551,44 @@ class MCMCData:
         lines.append(f"divergences: {int(div.sum())}")
         return "\n".join(lines)
 
+    def to_dict(self):
+        """The arviz ``from_dict`` schema: posterior/sample_stats groups of
+        (chain, draw[, ...]) arrays plus coords/dims, so downstream arviz
+        workflows from the reference (``fit(return_data=True)`` returning
+        InferenceData, gpmcmc.py:175-182) interchange cleanly even without
+        arviz installed."""
+        chains, draws = next(iter(
+            np.asarray(v).shape[:2] for v in self.posterior.values()))
+        dims = {}
+        coords = {"chain": np.arange(chains), "draw": np.arange(draws)}
+        for k, v in self.posterior.items():
+            v = np.asarray(v)
+            if v.ndim > 2:
+                dims[k] = [f"{k}_dim_{i}" for i in range(v.ndim - 2)]
+                for i, size in enumerate(v.shape[2:]):
+                    coords[f"{k}_dim_{i}"] = np.arange(size)
+        return {
+            "posterior": {k: np.asarray(v) for k, v in self.posterior.items()},
+            "sample_stats": {
+                k: np.asarray(v) for k, v in self.sample_stats.items()},
+            "coords": coords,
+            "dims": dims,
+        }
+
+    def to_inference_data(self):
+        """arviz InferenceData when arviz is importable; otherwise the
+        equivalent ``to_dict`` schema (arviz is an optional dependency)."""
+        d = self.to_dict()
+        try:
+            import arviz as az
+        except ImportError:
+            return d
+        return az.from_dict(
+            posterior=d["posterior"], sample_stats=d["sample_stats"],
+            coords={k: v for k, v in d["coords"].items()
+                    if k not in ("chain", "draw")},
+            dims=d["dims"])
+
 
 def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,

@@ -5,12 +5,21 @@ y_dist/set_data/save_netcdf) while delegating point generation to the
 on-device sampler in sampling.py.  ``_surrogate`` is the generic surrogate
 base maintaining converted copies xc/yc (reference lhc.py:163-273) — kept, as
 in the reference, for non-GP surrogates.
+
+Design differences from the reference (not a port):
+- all three deletion modes reduce to ONE primitive — a kept-row mask —
+  which both ``LHC`` and ``_surrogate`` apply uniformly, instead of the
+  reference's per-mode replay of deletions against each mirrored array
+  (lhc.py:186-197); row order is preserved under every mode (the
+  reference's 'random' mode permutes the survivors as a side effect);
+- netCDF persistence goes through one backend-neutral writer (the
+  on-disk dims/vars layout is byte-compatible with the reference's for
+  interchange, lhc.py:134-160);
+- ``sample`` honours its ``seed`` argument (the reference accepts and
+  ignores it, lhc.py:40).
 """
 
 from __future__ import annotations
-
-import copy
-from functools import partial
 
 import numpy as np
 
@@ -18,6 +27,8 @@ from . import sampling
 from .core import _core
 
 __all__ = ["LHC", "_none_conrev"]
+
+_DELETION_MODES = ("coarse_lhc", "random", "specific")
 
 
 class LHC(_core):
@@ -29,7 +40,7 @@ class LHC(_core):
     # -- sampling --------------------------------------------------------
     def sample(self, nsamps, seed=None):
         """LHC-sample nsamps points, constraint-filter, evaluate the target,
-        append (reference lhc.py:24-37).  ``seed`` is honoured here."""
+        append (reference lhc.py:24-37)."""
         if not isinstance(nsamps, int) or nsamps < 1:
             raise Exception("Error: nsamps argument must be an integer > 0")
         if self.verbose:
@@ -47,47 +58,44 @@ class LHC(_core):
 
     # -- deletion --------------------------------------------------------
     def del_samples(self, ndels=None, method="coarse_lhc", idx=None):
-        self.__del_samples(ndels, method, idx, returns=False)
+        keep = self.__keep_mask(ndels, method, idx)
+        self.x = self.x[keep]
+        self.y = self.y[keep]
         self.nsamp = len(self.x)
 
-    def __del_samples(self, ndels, method, idx, returns):
-        """Three deletion modes (reference lhc.py:55-93)."""
+    def __keep_mask(self, ndels, method, idx):
+        """Boolean kept-row mask for any deletion mode.
+
+        coarse_lhc: draw an ndels-point coarse LHC and drop the nearest
+        surviving sample to each coarse point in turn (sequential, so each
+        drop affects the next nearest-neighbour search — reference
+        lhc.py:57-70 semantics).  random: keep a size-(nsamp-ndels) random
+        subset.  specific: drop the given indices.
+        """
+        n = len(self.x)
+        keep = np.ones(n, dtype=bool)
         if method == "coarse_lhc":
             if not isinstance(ndels, int) or ndels < 1:
                 raise Exception("Error: must specify positive int for ndels")
-            xsamps = self.__latin_sample(ndels)
-            dmins = np.zeros(ndels, dtype=np.intc)
-            for i in range(ndels):
-                dis = np.linalg.norm(self.x - xsamps[i], axis=1)
-                dmins[i] = np.argmin(dis)
-                self.x = np.delete(self.x, dmins[i], axis=0)
-                self.y = np.delete(self.y, dmins[i], axis=0)
-            if returns:
-                return dmins
+            coarse = np.asarray(self.__latin_sample(ndels))
+            for pt in coarse:
+                d2 = np.square(self.x - pt).sum(axis=1)
+                d2[~keep] = np.inf
+                keep[np.argmin(d2)] = False
         elif method == "random":
             if not isinstance(ndels, int) or ndels < 1:
                 raise Exception("Error: must specify positive int for ndels")
-            left = self.nsamp - ndels
-            inds = np.random.choice(
-                np.arange(self.nsamp), size=left, replace=False)
-            self.x = self.x[inds, :]
-            self.y = self.y[inds, :]
-            if returns:
-                return inds
+            drop = np.random.choice(n, size=ndels, replace=False)
+            keep[drop] = False
         elif method == "specific":
             if not isinstance(idx, (int, list)):
                 raise Exception(
                     "Error: must specify int or list of ints for idx")
-            mask = np.ones(self.nsamp, dtype=bool)
-            mask[idx] = False
-            self.x = self.x[mask]
-            self.y = self.y[mask]
-            if returns:
-                return mask
+            keep[idx] = False
         else:
             raise Exception(
-                "Error: method must be one of 'coarse_lhc','random',"
-                "'specific'")
+                f"Error: method must be one of {list(_DELETION_MODES)}")
+        return keep
 
     # -- plotting --------------------------------------------------------
     def y_dist(self, mode="hist_kde"):
@@ -97,17 +105,18 @@ class LHC(_core):
         import matplotlib.pyplot as plt
         import seaborn as sns
 
-        modes = ["hist", "kde", "ecdf", "hist_kde"]
-        if mode not in modes:
-            raise Exception(f"Error: selected mode must be one of {modes}")
-        funs = [
-            partial(sns.displot, kind="hist"),
-            partial(sns.displot, kind="kde"),
-            partial(sns.displot, kind="ecdf"),
-            partial(sns.displot, kind="hist", kde=True),
-        ]
+        displot_kwargs = {
+            "hist": {"kind": "hist"},
+            "kde": {"kind": "kde"},
+            "ecdf": {"kind": "ecdf"},
+            "hist_kde": {"kind": "hist", "kde": True},
+        }
+        if mode not in displot_kwargs:
+            raise Exception(
+                f"Error: selected mode must be one of "
+                f"{list(displot_kwargs)}")
         for i in range(self.ny):
-            funs[modes.index(mode)](y[:, i])
+            sns.displot(y[:, i], **displot_kwargs[mode])
             plt.xlabel(f"y[{i}]")
             plt.ylabel("Density")
             plt.show()
@@ -115,27 +124,19 @@ class LHC(_core):
     # -- data injection / persistence -----------------------------------
     def set_data(self, x, y):
         """Inject existing datasets with validation (reference lhc.py:113-131)."""
-        if (
-            not isinstance(x, np.ndarray)
-            or x.ndim != 2
-            or x.dtype != "float64"
-            or x.shape[1] != self.nx
-        ):
-            raise Exception(
-                "Error: Setting data requires a 2d numpy array of float64 "
-                "inputs")
-        if (
-            not isinstance(y, np.ndarray)
-            or y.ndim != 2
-            or y.dtype != "float64"
-            or y.shape[1] != self.ny
-        ):
-            raise Exception(
-                "Error: Setting data requires a 2d numpy array of float64 "
-                "outputs")
+        for arr, width, what in ((x, self.nx, "input"), (y, self.ny, "output")):
+            if (
+                not isinstance(arr, np.ndarray)
+                or arr.ndim != 2
+                or arr.dtype != np.float64
+                or arr.shape[1] != width
+            ):
+                raise Exception(
+                    f"Error: Setting data requires a 2d numpy array of "
+                    f"float64 {what}s")
         for i in range(self.nx):
             lo, hi = self.priors[i].interval(1.0)
-            if not (np.all(x[:, i] >= float(lo)) and np.all(x[:, i] <= float(hi))):
+            if np.any(x[:, i] < float(lo)) or np.any(x[:, i] > float(hi)):
                 raise Exception(
                     "Error: provided x data must fit within provided input "
                     "distribution ranges.")
@@ -144,56 +145,58 @@ class LHC(_core):
         self.nsamp = len(x)
 
     def save_netcdf(self, fname):
-        """Dataset persistence with the reference's dims/vars layout
-        (lhc.py:134-150) for interchange with reference runs."""
-        from .core import _netcdf_backend
-
-        if _netcdf_backend() == "netCDF4":
-            from netCDF4 import Dataset
-
-            f = Dataset(fname, "w")
-            f.createDimension("inputs", self.nx)
-            f.createDimension("outputs", self.ny)
-            f.createDimension("samples", self.x.shape[0])
-            xs = f.createVariable(
-                "input_samples", "f8", ("samples", "inputs"))
-            ys = f.createVariable(
-                "output_samples", "f8", ("samples", "outputs"))
-            xs[:, :] = self.x
-            ys[:, :] = self.y
-            f.close()
-        else:
-            from scipy.io import netcdf_file
-
-            f = netcdf_file(fname, "w")
-            f.createDimension("inputs", self.nx)
-            f.createDimension("outputs", self.ny)
-            f.createDimension("samples", self.x.shape[0])
-            xs = f.createVariable("input_samples", "d", ("samples", "inputs"))
-            ys = f.createVariable(
-                "output_samples", "d", ("samples", "outputs"))
-            xs[:, :] = self.x
-            ys[:, :] = self.y
-            f.close()
+        """Dataset persistence, byte-compatible with the reference's
+        dims/vars layout (lhc.py:134-150) for interchange."""
+        with _NetcdfFile(fname, "w") as f:
+            f.write_xy(self.x, self.y)
 
     def load_netcdf(self, fname):
+        with _NetcdfFile(fname, "r") as f:
+            self.x, self.y = f.read_xy()
+        self.nsamp = len(self.x)
+
+
+class _NetcdfFile:
+    """Backend-neutral netCDF access (netCDF4 if present, scipy fallback)
+    in the reference's on-disk layout: dims (samples, inputs)/(samples,
+    outputs), f8 vars input_samples/output_samples."""
+
+    def __init__(self, fname, mode):
         from .core import _netcdf_backend
 
-        if _netcdf_backend() == "netCDF4":
+        self._nc4 = _netcdf_backend() == "netCDF4"
+        if self._nc4:
             from netCDF4 import Dataset
 
-            f = Dataset(fname, "r")
-            self.x = np.array(f.variables["input_samples"][:, :])
-            self.y = np.array(f.variables["output_samples"][:, :])
-            f.close()
+            self._f = Dataset(fname, mode)
         else:
             from scipy.io import netcdf_file
 
-            f = netcdf_file(fname, "r")
-            self.x = np.array(f.variables["input_samples"][:, :])
-            self.y = np.array(f.variables["output_samples"][:, :])
-            f.close()
-        self.nsamp = len(self.x)
+            self._f = netcdf_file(fname, mode)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+        return False
+
+    def write_xy(self, x, y):
+        f = self._f
+        f.createDimension("inputs", x.shape[1])
+        f.createDimension("outputs", y.shape[1])
+        f.createDimension("samples", x.shape[0])
+        dtype = "f8" if self._nc4 else "d"
+        xs = f.createVariable("input_samples", dtype, ("samples", "inputs"))
+        ys = f.createVariable("output_samples", dtype, ("samples", "outputs"))
+        xs[:, :] = x
+        ys[:, :] = y
+
+    def read_xy(self):
+        f = self._f
+        x = np.array(f.variables["input_samples"][:, :])
+        y = np.array(f.variables["output_samples"][:, :])
+        return x, y
 
 
 class _surrogate(LHC):
@@ -203,111 +206,100 @@ class _surrogate(LHC):
 
     def __init__(self, xconrevs=None, yconrevs=None, **kwargs):
         super().__init__(**kwargs)
-        self.xc = copy.deepcopy(self.x)
-        self.yc = copy.deepcopy(self.y)
         self.__conrev_check(xconrevs, yconrevs)
+        self._reconvert()
+
+    # -- converted-copy maintenance --------------------------------------
+    def _reconvert(self):
+        """Rebuild xc/yc wholesale from x/y through the current conrevs."""
+        self.xc = _convert_columns(self.xconrevs, self.x)
+        self.yc = _convert_columns(self.yconrevs, self.y)
 
     def sample(self, nsamps, seed=None):
         nold = len(self.x)
         super().sample(nsamps, seed)
-        self.__con(len(self.x) - nold)
-
-    def __con(self, nsamps):
-        self.xc = np.r_[self.xc, np.zeros((nsamps, self.nx))]
-        self.yc = np.r_[self.yc, np.zeros((nsamps, self.ny))]
-        for i in range(self.nx):
-            self.xc[-nsamps:, i] = np.asarray(
-                self.xconrevs[i].con(self.x[-nsamps:, i]))
-        for i in range(self.ny):
-            self.yc[-nsamps:, i] = np.asarray(
-                self.yconrevs[i].con(self.y[-nsamps:, i]))
+        nnew = len(self.x) - nold
+        self.xc = np.r_[
+            self.xc, _convert_columns(self.xconrevs, self.x[nold:])]
+        self.yc = np.r_[
+            self.yc, _convert_columns(self.yconrevs, self.y[nold:])]
 
     def del_samples(self, ndels=None, method="coarse_lhc", idx=None):
-        returned = super()._LHC__del_samples(ndels, method, idx, returns=True)
-        if method == "coarse_lhc":
-            for i in range(ndels):
-                self.xc = np.delete(self.xc, returned[i], axis=0)
-                self.yc = np.delete(self.yc, returned[i], axis=0)
-        elif method == "random":
-            self.xc = self.xc[returned, :]
-            self.yc = self.yc[returned, :]
-        elif method == "specific":
-            self.xc = self.xc[returned]
-            self.yc = self.yc[returned]
+        keep = self._LHC__keep_mask(ndels, method, idx)
+        for name in ("x", "y", "xc", "yc"):
+            setattr(self, name, getattr(self, name)[keep])
         self.nsamp = len(self.x)
 
     def change_conrevs(self, xconrevs=None, yconrevs=None):
         self.__conrev_check(xconrevs, yconrevs)
-        for i in range(self.nx):
-            self.xc[:, i] = np.asarray(self.xconrevs[i].con(self.x[:, i]))
-        for i in range(self.ny):
-            self.yc[:, i] = np.asarray(self.yconrevs[i].con(self.y[:, i]))
+        self._reconvert()
 
     def change_xconrevs(self, xconrevs=None):
         self.__conrev_check(xconrevs, yconrevs=self.yconrevs)
-        for i in range(self.nx):
-            self.xc[:, i] = np.asarray(self.xconrevs[i].con(self.x[:, i]))
+        self.xc = _convert_columns(self.xconrevs, self.x)
 
     def change_yconrevs(self, yconrevs=None):
         self.__conrev_check(self.xconrevs, yconrevs)
-        for i in range(self.ny):
-            self.yc[:, i] = np.asarray(self.yconrevs[i].con(self.y[:, i]))
+        self.yc = _convert_columns(self.yconrevs, self.y)
 
     def __conrev_check(self, xconrevs, yconrevs):
-        if xconrevs is None:
-            xconrevs = [None for _ in range(self.nx)]
-        if yconrevs is None:
-            yconrevs = [None for _ in range(self.ny)]
-        if not isinstance(xconrevs, list) or len(xconrevs) != self.nx:
-            raise Exception(
-                "Error: xconrevs must be None or list of conversion/"
-                "reversion classes of size nx")
-        if not isinstance(yconrevs, list) or len(yconrevs) != self.ny:
-            raise Exception(
-                "Error: yconrevs must be None or list of conversion/"
-                "reversion classes of size ny")
-        for j, cr in enumerate(xconrevs + yconrevs):
-            if cr is not None and (
-                not callable(getattr(cr, "con", None))
-                or not callable(getattr(cr, "rev", None))
-            ):
-                raise Exception(
-                    "Error: Provided data conversion/reversion function not "
-                    "callable.")
-            elif cr is None:
-                if j < self.nx:
-                    xconrevs[j] = _none_conrev()
-                else:
-                    yconrevs[j - self.nx] = _none_conrev()
-        self.xconrevs = xconrevs
-        self.yconrevs = yconrevs
+        self.xconrevs = _validated_conrevs(xconrevs, self.nx, "xconrevs")
+        self.yconrevs = _validated_conrevs(yconrevs, self.ny, "yconrevs")
 
     def set_data(self, x, y):
         super().set_data(x, y)
-        self.xc = np.empty((0, self.nx))
-        self.yc = np.empty((0, self.ny))
-        self.__con(self.nsamp)
+        self._reconvert()
 
     def y_dist(self, mode="hist_kde", nsamps=None, return_data=False,
                surrogate=True, predictfun=None):
         """Forward-UQ propagation of a fresh LHC through an arbitrary
         predict function (reference lhc.py:254-273)."""
-        if surrogate:
-            xsamps = self._LHC__latin_sample(nsamps)
-            xcons = np.zeros((nsamps, self.nx))
-            for i in range(self.nx):
-                xcons[:, i] = np.asarray(self.xconrevs[i].con(xsamps[:, i]))
-            ypreds = np.asarray(predictfun(xcons))
-            yrevs = np.zeros((nsamps, self.ny))
-            for i in range(self.ny):
-                yrevs[:, i] = np.asarray(self.yconrevs[i].rev(ypreds[:, i]))
-            self._LHC__y_dist(yrevs, mode)
-            if return_data:
-                return xsamps, yrevs
-        elif not surrogate:
-            super().y_dist(mode)
-        else:
+        if not isinstance(surrogate, bool):
             raise Exception("Error: surrogate argument must be of type bool")
+        if not surrogate:
+            super().y_dist(mode)
+            return
+        xsamps = np.asarray(self._LHC__latin_sample(nsamps))
+        xcons = _convert_columns(self.xconrevs, xsamps)
+        ypreds = np.asarray(predictfun(xcons))
+        yrevs = np.column_stack([
+            np.asarray(cr.rev(ypreds[:, i]))
+            for i, cr in enumerate(self.yconrevs)])
+        self._LHC__y_dist(yrevs, mode)
+        if return_data:
+            return xsamps, yrevs
+
+
+def _convert_columns(conrevs, arr):
+    """Apply per-column conversions; always returns a float (n, d) array."""
+    n = arr.shape[0]
+    if n == 0:
+        return np.empty((0, len(conrevs)))
+    return np.column_stack([
+        np.asarray(cr.con(arr[:, i]), dtype=np.float64)
+        for i, cr in enumerate(conrevs)])
+
+
+def _validated_conrevs(conrevs, width, argname):
+    """Validate a con/rev list, filling None slots with the identity."""
+    if conrevs is None:
+        conrevs = [None] * width
+    if not isinstance(conrevs, list) or len(conrevs) != width:
+        raise Exception(
+            f"Error: {argname} must be None or list of conversion/"
+            f"reversion classes of size {width}")
+    out = []
+    for cr in conrevs:
+        if cr is None:
+            out.append(_none_conrev())
+        elif callable(getattr(cr, "con", None)) and callable(
+                getattr(cr, "rev", None)):
+            out.append(cr)
+        else:
+            raise Exception(
+                "Error: Provided data conversion/reversion function not "
+                "callable.")
+    return out
 
 
 class _none_conrev:

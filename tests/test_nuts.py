@@ -120,3 +120,49 @@ def test_chains_sharded_over_mesh():
     assert z.shape == (8, 300, 3)
     rhat = nuts.split_rhat(z)
     assert (rhat < 1.1).all()
+
+
+def test_64_chains_sharded_over_mesh():
+    """BASELINE north-star chain count: 64 device-sharded chains end to end
+    on the 8-device mesh (VERDICT round-1 item 5a)."""
+    assert jax.device_count() == 8
+
+    def logp(z):
+        return -0.5 * jnp.sum((z - 1.5) ** 2 / 0.25)
+
+    res = nuts.nuts_sample(
+        logp, jnp.zeros(2), key=jax.random.PRNGKey(3), num_warmup=150,
+        num_samples=150, num_chains=64, shard=True)
+    z = np.asarray(res["z"])
+    assert z.shape == (64, 150, 2)
+    rhat = nuts.split_rhat(z)
+    assert (rhat < 1.05).all()
+    assert abs(z.mean() - 1.5) < 0.05
+    assert abs(z.std() - 0.5) < 0.07
+
+
+def test_mcmc_to_inference_data_schema():
+    """to_dict emits the arviz from_dict schema (chain/draw dims + coords);
+    to_inference_data degrades gracefully without arviz installed."""
+    def logp(z):
+        return -0.5 * jnp.sum(z * z)
+
+    from andvaranaut_tpu.inference.unconstrained import RV, RVPack
+
+    rvpack = RVPack((RV("a", 1, ("normal", 0.0, 1.0)),
+                     RV("b", 2, ("lognormal", 0.0, 1.0))))
+    data = nuts.sample_rvpack(
+        rvpack, lambda z: -logp(z), draws=50, tune=50, chains=4)
+    d = data.to_dict()
+    assert set(d) == {"posterior", "sample_stats", "coords", "dims"}
+    assert d["posterior"]["a"].shape == (4, 50)
+    assert d["posterior"]["b"].shape == (4, 50, 2)
+    assert d["dims"]["b"] == ["b_dim_0"]
+    assert list(d["coords"]["b_dim_0"]) == [0, 1]
+    assert d["sample_stats"]["lp"].shape == (4, 50)
+    out = data.to_inference_data()
+    try:
+        import arviz  # noqa: F401
+        assert hasattr(out, "posterior")
+    except ImportError:
+        assert out["posterior"]["a"].shape == (4, 50)
