@@ -46,6 +46,27 @@ def is_tpu() -> bool:
     return platform() not in ("cpu", "gpu")
 
 
+def fast_gram() -> bool:
+    """Whether USER-FACING prediction cross-Gram matrices use the fused
+    Pallas f32 tile kernel (pallas_ops.pallas_gram) instead of the exact
+    f64 difference form.
+
+    Default OFF: near interpolation (tiny gv) the ill-conditioned solve
+    amplifies the f32 cross-covariance error to ~1e-4 relative on
+    predictive means — too coarse to impose silently.  Opt in with
+    ANDVARANAUT_FAST_GRAM=1 when prediction throughput matters more
+    (the engine clamps the latent variance at 0, its exact-arithmetic
+    bound, so the fast path never NaNs the GH reversion).  BO
+    acquisition programs use the fast kernel on TPU unconditionally —
+    acquisition values tolerate f32 noise and run thousands of times
+    per iteration.  Read at trace time: set before first predict.
+    """
+    env = os.environ.get("ANDVARANAUT_FAST_GRAM")
+    if env is not None:
+        return env not in ("0", "false", "False", "")
+    return False
+
+
 def interpret_mode() -> bool:
     """Whether Pallas kernels should run in interpreter mode.
 

@@ -178,9 +178,24 @@ class _core:
         self.verbose = verbose
         self.rundir = rundir if rundir is not None else "runs"
         self.nsamp = 0
+        # monotonic scratch-dir counter: unlike the reference (which keys
+        # task dirs on nsamp and so reuses them across BO target/mean
+        # evaluations within one iteration, ref gpmcmc.py:908-909), every
+        # __vector_solver call gets fresh task{i} directories
+        self._task_counter = 0
+
+    def _next_task_ids(self, n):
+        """Reserve n fresh task-directory indices (monotonic across every
+        evaluation in this object's lifetime; unpickled pre-counter objects
+        resume from nsamp)."""
+        base = getattr(self, "_task_counter", None)
+        if base is None:
+            base = self.nsamp
+        self._task_counter = base + n
+        return base
 
     # -- parallel path ---------------------------------------------------
-    def __parallel_runs(self, inps, fun):
+    def __parallel_runs(self, inps, fun, task_base):
         payload = cloudpickle.dumps(fun)
         l = len(inps)
         results = [None] * l
@@ -194,7 +209,7 @@ class _core:
             futmap = {
                 pool.submit(
                     _parallel_wrap, payload, self.rundir, inps[i],
-                    i + self.nsamp,
+                    i + task_base,
                 ): i
                 for i in range(l)
             }
@@ -227,9 +242,10 @@ class _core:
         t0 = stopwatch()
         n_samples = len(xsamps)
         os.makedirs(self.rundir, exist_ok=True)
+        task_base = self._next_task_ids(n_samples)
 
         if self.parallel:
-            ysamps, fails = self.__parallel_runs(xsamps, fun)
+            ysamps, fails = self.__parallel_runs(xsamps, fun, task_base)
             if len(ysamps) and ysamps.shape[1] != self.ny:
                 raise AssertionError(
                     "Specified ny does not match function output")
@@ -249,7 +265,7 @@ class _core:
             fails = np.empty(0, dtype=np.intc)
             cwd = os.getcwd()
             for i in rangef(n_samples):
-                d = os.path.join(self.rundir, f"task{i + self.nsamp}")
+                d = os.path.join(self.rundir, f"task{i + task_base}")
                 os.makedirs(d, exist_ok=True)
                 os.chdir(d)
                 try:

@@ -8,13 +8,17 @@ symbolically, gpmcmc.py:326-346 via pm.find_MAP):
     d logL / d theta = 1/2 a' (dK/dtheta) a - 1/2 tr(K^-1 dK/dtheta),
     a = K^-1 y
 
-With W = (a a' - K^-1) o K_rbf, every hyperparameter gradient is an
-elementwise contraction of W — one explicit K^-1 (two O(N^3) slice
-matmuls via the stored block inverses) serves all parameters.
+One explicit K^-1 (two O(N^3) slice matmuls via the stored block
+inverses) serves every hyperparameter; each dK/dtheta comes from
+forward-mode autodiff of the ELEMENTWISE Gram assembly only — no
+factorisation in the differentiated graph, so the jvp lowers to pure
+elementwise TPU code.  This covers the full reference kernel algebra
+('+'/'*' compositions of RBF/Matern52/Matern32/Exponential/RatQuad,
+gpmcmc.py:282-307) with ARD lengthscales, noise, and RatQuad alpha.
 
-RBF (+noise) only for now — the small/medium-N engine path supports the
-full kernel algebra; this module is the 16k-scale fit engine
-(BASELINE.json north star).
+This module is the 16k-scale fit engine (BASELINE.json north star);
+the small/medium-N engine path additionally supports learnable warpings
+(iwgp/cwgp), which stay on the f64 autodiff path.
 """
 
 from __future__ import annotations
@@ -26,79 +30,90 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import precision
+from . import kernels, precision
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-@partial(jax.jit, static_argnames=("noise", "jitter", "block"))
-def rbf_nlml_value_and_grad(X, y, z, noise=True, jitter=1e-6,
-                            block: int = 1024):
-    """Log marginal likelihood and gradient wrt unconstrained
-    z = [log gv (if noise), log l (nx), log kv] for an ARD-RBF GP.
+def _default_rvpack(nx, kerns, noise, truncate=False):
+    from ..lhc import _none_conrev
+    from . import engine
 
-    Returns (logl, grad_z).
+    cfg = engine.FitConfig(
+        kerns=tuple(kerns), ops=(), noise=noise, truncate=truncate,
+        jitter=0.0, iwgp=False, cwgp=False, priors=[None] * nx,
+        xconrevs=[_none_conrev()] * nx, yconrevs=[_none_conrev()],
+        x=np.zeros((1, nx)), y=np.zeros((1, 1)))
+    return engine.build_rvs(cfg)
+
+
+def nlml_value_and_grad(X, y, z, kerns=("RBF",), ops=(), noise=True,
+                        jitter=1e-6, block: int = 1024, rvpack=None):
+    """Log marginal likelihood and gradient wrt unconstrained z for the
+    full kernel algebra through the mixed-precision blocked factorisation.
+
+    z is in the rvpack's unconstrained space (constrained values recovered
+    via its forward transforms — log for the default menu, sigmoid-interval
+    for truncate priors).  Returns (logl, grad_z).
     """
+    if rvpack is None:
+        rvpack = _default_rvpack(X.shape[1], kerns, noise)
+    return _nlml_vg(X, y, z, rvpack, tuple(kerns), tuple(ops), noise,
+                    float(jitter), int(block))
+
+
+@partial(jax.jit, static_argnames=(
+    "rvpack", "kerns", "ops", "noise", "jitter", "block"))
+def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     n, nx = X.shape
-    off = 1 if noise else 0
-    gv = jnp.exp(z[0]) if noise else 0.0
-    l = jnp.exp(z[off : off + nx])
-    kv = jnp.exp(z[off + nx])
+    has_alpha = "RatQuad" in kerns
+    eye = jnp.eye(n, dtype=X.dtype)
 
-    # ARD squared distance per dim (difference form; no f64 matmuls).
-    # Per-dim matrices are recomputed in the gradient loop rather than
-    # kept alive: nx extra O(n^2) buffers would OOM at 16k.
-    Xs = X / l
+    def gram_fn(zz):
+        """Elementwise-only Gram assembly (jvp-safe on TPU: no dots)."""
+        vals = rvpack.unpack(zz)
+        gv_ = vals["gv"][0] if noise else jnp.asarray(0.0, zz.dtype)
+        l_ = vals["l"]
+        kv_ = vals["kv"]
+        alpha_ = vals["alpha"][0] if has_alpha else None
+        K_ = kernels.gram(kerns, ops, X, X, l_, kv_, alpha_)
+        return K_ + (jitter + gv_) * eye
 
-    def dim_sq(k):
-        d = Xs[:, k, None] - Xs[None, :, k]
-        return d * d
-
-    r2 = dim_sq(0)
-    for k in range(1, nx):
-        r2 = r2 + dim_sq(k)
-    K = kv * jnp.exp(-0.5 * r2) + (jitter + gv) * jnp.eye(n, dtype=X.dtype)
-
-    L, Dinv = precision.blocked_cholesky(
-        K, block=block, return_inv=True)
-    alpha = precision.refined_chol_solve(L, K, y, block=block, Dinv=Dinv)
+    K = gram_fn(z)
+    L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True)
+    alpha_vec = precision.refined_chol_solve(L, K, y, block=block, Dinv=Dinv)
     logl = (
-        -0.5 * jnp.dot(y, alpha)
+        -0.5 * jnp.dot(y, alpha_vec)
         - jnp.sum(jnp.log(jnp.diag(L)))
         - 0.5 * n * _LOG_2PI
     )
 
     # explicit K^-1 = Linv' Linv through the stored block inverses
-    eye = jnp.eye(n, dtype=X.dtype)
-    Linv = precision.blocked_solve_lower(
-        L, eye, block=block, Dinv=Dinv)
+    Linv = precision.blocked_solve_lower(L, eye, block=block, Dinv=Dinv)
     Kinv = precision.slice_matmul(Linv.T, Linv)
 
-    # kv*R recovered from K (avoids keeping R); W fused into each
-    # contraction rather than materialised
-    kvR = K - (jitter + gv) * jnp.eye(n, dtype=X.dtype)
+    def grad_one(i):
+        e = jnp.zeros_like(z).at[i].set(1.0)
+        _, dK = jax.jvp(gram_fn, (z,), (e,))
+        # 1/2 a' dK a - 1/2 tr(Kinv dK), both as fused elementwise
+        # broadcast-reduces (emulated-f64 dot_general is a memory
+        # pathology on this platform)
+        quad = jnp.sum((alpha_vec[:, None] * alpha_vec[None, :]) * dK)
+        tr = jnp.sum(Kinv * dK)
+        return 0.5 * (quad - tr)
 
-    def wsum(mask):
-        return 0.5 * jnp.sum(
-            (alpha[:, None] * alpha[None, :] - Kinv) * kvR * mask)
-
-    grads = []
-    if noise:
-        g_zg = 0.5 * gv * (jnp.dot(alpha, alpha) - jnp.trace(Kinv))
-        grads.append(g_zg)
-    for k in range(nx):
-        grads.append(wsum(dim_sq(k)))
-    grads.append(wsum(1.0))
-    return logl, jnp.stack(grads)
+    grads = jnp.stack([grad_one(i) for i in range(z.shape[0])])
+    return logl, grads
 
 
-def big_map_fit(X, y, noise: bool = True, jitter: float = 1e-6,
+def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
+                truncate: bool = False, jitter: float = 1e-6,
                 block: int = 1024, maxiter: int = 50, start=None,
-                verbose: bool = False):
-    """MAP fit of an ARD-RBF GP at large N: host-side scipy L-BFGS-B over
-    the unconstrained hyperparameters with the jitted mixed-precision
-    value-and-grad above, plus the reference hyperprior menu
-    (gpmcmc.py:193-208) via the engine RV machinery.
+                restarts: int = 1, seed: int = 0, verbose: bool = False):
+    """MAP fit at large N: host-side scipy L-BFGS-B over the unconstrained
+    hyperparameters with the jitted mixed-precision value-and-grad above,
+    plus the reference hyperprior menu (gpmcmc.py:193-208, truncate
+    variants included) via the engine RV machinery.
 
     Returns (hypers dict, log posterior).
     """
@@ -110,8 +125,10 @@ def big_map_fit(X, y, noise: bool = True, jitter: float = 1e-6,
     X = np.asarray(X, dtype=np.float64)
     y1 = np.asarray(y, dtype=np.float64).reshape(-1)
     nx = X.shape[1]
+    kerns = tuple(kerns)
+    ops = tuple(ops)
     cfg = engine.FitConfig(
-        kerns=("RBF",), ops=(), noise=noise, truncate=False, jitter=jitter,
+        kerns=kerns, ops=ops, noise=noise, truncate=truncate, jitter=jitter,
         iwgp=False, cwgp=False, priors=[None] * nx,
         xconrevs=[_none_conrev()] * nx, yconrevs=[_none_conrev()],
         x=X[:1], y=y1[:1].reshape(-1, 1))
@@ -123,8 +140,9 @@ def big_map_fit(X, y, noise: bool = True, jitter: float = 1e-6,
 
     def fun(z_np):
         z = jnp.asarray(z_np)
-        logl, g = rbf_nlml_value_and_grad(
-            Xj, yj, z, noise=noise, jitter=jitter, block=block)
+        logl, g = nlml_value_and_grad(
+            Xj, yj, z, kerns=kerns, ops=ops, noise=noise, jitter=jitter,
+            block=block, rvpack=rvpack)
         lp, gp_ = prior_grad(z)
         val = -(float(logl) + float(lp))
         grad = -(np.asarray(g) + np.asarray(gp_))
@@ -137,19 +155,41 @@ def big_map_fit(X, y, noise: bool = True, jitter: float = 1e-6,
             print(f"  nlp={val:.6f}")
         return val, grad
 
+    if truncate:
+        # truncate priors bound the constrained values through their
+        # sigmoid-interval transform; z itself is unbounded
+        bounds = None
+    else:
+        # log-space box keeps the factorisation in its numerical range
+        nkern = len(kerns)
+        bounds = []
+        if noise:
+            bounds.append((np.log(1e-12), np.log(1e2)))
+        bounds += [(np.log(1e-3), np.log(1e3))] * (nx * nkern)
+        bounds += [(np.log(1e-6), np.log(1e6))] * nkern
+        if "RatQuad" in kerns:
+            bounds.append((np.log(1e-3), np.log(1e3)))
+
     z0 = (
         np.asarray(rvpack.pack_values(start)) if start is not None
         else np.asarray(rvpack.z0()))
-    # log-space box keeps the factorisation in its numerical range
-    bounds = []
-    if noise:
-        bounds.append((np.log(1e-12), np.log(1e2)))
-    bounds += [(np.log(1e-3), np.log(1e3))] * nx
-    bounds.append((np.log(1e-6), np.log(1e6)))
-    res = minimize(fun, z0, jac=True, method="L-BFGS-B", bounds=bounds,
-                   options={"maxiter": maxiter})
-    vals = rvpack.unpack(jnp.asarray(res.x))
+    rng = np.random.default_rng(seed)
+    best = None
+    for r in range(max(1, restarts)):
+        zr = z0 if r == 0 else rng.normal(size=rvpack.total)
+        try:
+            res = minimize(fun, zr, jac=True, method="L-BFGS-B",
+                           bounds=bounds, options={"maxiter": maxiter})
+        except Exception:
+            continue
+        if np.isfinite(res.fun) and (best is None or res.fun < best.fun):
+            best = res
+    if best is None:
+        raise RuntimeError("mixed-precision MAP failed from all starts")
+    vals = rvpack.unpack(jnp.asarray(best.x))
     hypers = {k: np.asarray(v) for k, v in vals.items()}
     if "gv" in hypers:
         hypers["gv"] = hypers["gv"].reshape(())
-    return hypers, -float(res.fun)
+    if "alpha" in hypers:
+        hypers["alpha"] = hypers["alpha"].reshape(())
+    return hypers, -float(best.fun)

@@ -216,8 +216,7 @@ def round_up(n: int, m: int) -> int:
 
 
 def make_fit_program(kerns, ops, noise: bool, truncate: bool, jitter: float,
-                     nx: int, max_iter: int = 500, tol: float = 1e-8,
-                     precision: str = "f64", chol_block: int = 2048):
+                     nx: int, max_iter: int = 500, tol: float = 1e-8):
     """Shape-polymorphic MAP program for the plain (non-learnable-warping)
     path: one compiled executable per (spec, padded-shape) bucket, reused
     across BO-loop refits and dataset growth (SURVEY.md §7 hard part 5).
@@ -244,13 +243,9 @@ def make_fit_program(kerns, ops, noise: bool, truncate: bool, jitter: float,
         vv = valid.astype(K.dtype)
         K = K * (vv[:, None] * vv[None, :])
         K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
-        if precision == "mixed":
-            # Reverse-mode AD through the blocked mixed path compiles
-            # impractically slowly; large-N mixed-precision MAP will use
-            # closed-form NLML gradients (planned) rather than autodiff.
-            raise NotImplementedError(
-                "precision='mixed' MAP fitting is not wired yet; use the "
-                "forward mixed_nlml for evaluation or precision='f64'.")
+        # (mixed-precision large-N MAP goes through gp/bigfit.py's
+        # closed-form gradients; this compiled program is the exact-f64
+        # autodiff path)
         L = jnp.linalg.cholesky(K)
         beta = jax.scipy.linalg.solve_triangular(L, yin, lower=True)
         logl = (
@@ -285,23 +280,20 @@ _FIT_PROGRAMS: dict = {}
 
 
 def get_fit_program(kerns, ops, noise, truncate, jitter, nx,
-                    max_iter: int = 500, tol: float = 1e-8,
-                    precision: str = "f64"):
+                    max_iter: int = 500, tol: float = 1e-8):
     """Process-level cache of compiled plain-path MAP programs, keyed by
     model spec (shapes handled by jit)."""
     key = (tuple(kerns), tuple(ops), bool(noise), bool(truncate),
-           float(jitter), int(nx), int(max_iter), float(tol), precision)
+           float(jitter), int(nx), int(max_iter), float(tol))
     if key not in _FIT_PROGRAMS:
         _FIT_PROGRAMS[key] = make_fit_program(
             tuple(kerns), tuple(ops), bool(noise), bool(truncate),
-            float(jitter), int(nx), max_iter=max_iter, tol=tol,
-            precision=precision)
+            float(jitter), int(nx), max_iter=max_iter, tol=tol)
     return _FIT_PROGRAMS[key]
 
 
 def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
-            seed: int = 0, max_iter: int = 500, tol: float = 1e-8,
-            precision: str = "f64"):
+            seed: int = 0, max_iter: int = 500, tol: float = 1e-8):
     """MAP fit with restarts (random unconstrained-space starts — the
     reference intended this but never passed `start`, gpmcmc.py:330; fixed).
 
@@ -322,7 +314,7 @@ def map_fit(cfg: FitConfig, start: dict | None = None, restarts: int = 1,
         xin_p, yin_p, valid = pad_data(xin, yin)
         rvpack, run = get_fit_program(
             cfg.kerns, cfg.ops, cfg.noise, cfg.truncate, cfg.jitter, nx,
-            max_iter=max_iter, tol=tol, precision=precision)
+            max_iter=max_iter, tol=tol)
         nreal = jnp.asarray(float(n))
 
         def attempt(zr):
@@ -382,15 +374,20 @@ def chol_state_masked(kerns, ops, xin, yin, valid, l, kv, gv, alpha, jitter):
     return L, v
 
 
-@partial(jax.jit, static_argnames=("kerns", "ops"))
+@partial(jax.jit, static_argnames=("kerns", "ops", "fast"))
 def predict_from_chol_masked(kerns, ops, xin, valid, L, v, xnew, l, kv, gv,
-                             alpha):
-    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+                             alpha, fast: bool = False):
+    Kxs = (
+        kernels.gram_fast(kerns, ops, xin, xnew, l, kv, alpha) if fast
+        else kernels.gram_cross(kerns, ops, xin, xnew, l, kv, alpha))
     Kxs = Kxs * valid.astype(Kxs.dtype)[:, None]
     A = jax.scipy.linalg.solve_triangular(L, Kxs, lower=True)
     mu = A.T @ v
     kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
-    var = kss - jnp.sum(A * A, axis=0) + gv
+    # latent posterior variance is >= 0 in exact arithmetic; clamp
+    # guards round-off negatives (f64) and the f32-grade fast-gram
+    # error near interpolation, which otherwise NaN the GH reversion
+    var = jnp.maximum(kss - jnp.sum(A * A, axis=0), 0.0) + gv
     return mu, var
 
 
@@ -407,14 +404,20 @@ def chol_state(kerns, ops, xin, yin, l, kv, gv, alpha, jitter):
     return L, v
 
 
-@partial(jax.jit, static_argnames=("kerns", "ops"))
-def predict_from_chol(kerns, ops, xin, L, v, xnew, l, kv, gv, alpha):
+@partial(jax.jit, static_argnames=("kerns", "ops", "fast"))
+def predict_from_chol(kerns, ops, xin, L, v, xnew, l, kv, gv, alpha,
+                      fast: bool = False):
     """Predictive mean/var (pred_noise=True) from cached conditioning."""
-    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+    Kxs = (
+        kernels.gram_fast(kerns, ops, xin, xnew, l, kv, alpha) if fast
+        else kernels.gram_cross(kerns, ops, xin, xnew, l, kv, alpha))
     A = jax.scipy.linalg.solve_triangular(L, Kxs, lower=True)
     mu = A.T @ v
     kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
-    var = kss - jnp.sum(A * A, axis=0) + gv
+    # latent posterior variance is >= 0 in exact arithmetic; clamp
+    # guards round-off negatives (f64) and the f32-grade fast-gram
+    # error near interpolation, which otherwise NaN the GH reversion
+    var = jnp.maximum(kss - jnp.sum(A * A, axis=0), 0.0) + gv
     return mu, var
 
 
@@ -425,12 +428,15 @@ def predict_diag(kerns, ops, xin, yin, xnew, l, kv, gv, alpha, jitter):
     K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
     K = K + jnp.eye(n) * (jitter + gv)
     L = jnp.linalg.cholesky(K)
-    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+    Kxs = kernels.gram_cross(kerns, ops, xin, xnew, l, kv, alpha)
     A = jax.scipy.linalg.solve_triangular(L, Kxs, lower=True)
     v = jax.scipy.linalg.solve_triangular(L, yin, lower=True)
     mu = A.T @ v
     kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
-    var = kss - jnp.sum(A * A, axis=0) + gv
+    # latent posterior variance is >= 0 in exact arithmetic; clamp
+    # guards round-off negatives (f64) and the f32-grade fast-gram
+    # error near interpolation, which otherwise NaN the GH reversion
+    var = jnp.maximum(kss - jnp.sum(A * A, axis=0), 0.0) + gv
     return mu, var
 
 

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import math
 import re
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 KERNEL_NAMES = ("RBF", "Matern52", "Matern32", "Exponential", "RatQuad")
@@ -83,20 +85,24 @@ def base_kernel(name: str, X, X2, ls, alpha=None, diag: bool = False):
     raise ValueError(f"Unknown kernel {name}")
 
 
-def gram(kerns, ops, X, X2, l_flat, kv, alpha=None, diag: bool = False):
+def gram(kerns, ops, X, X2, l_flat, kv, alpha=None, diag: bool = False,
+         component=None):
     """Composite Gram matrix (or its diagonal) over converted inputs.
 
     l_flat: (nkern*nx,) ARD lengthscales, block per component.
     kv:     (nkern,) per-component variances.
     alpha:  RatQuad shape (scalar; at most one RatQuad, as in the reference).
+    component: per-component evaluator override (defaults to base_kernel).
     """
     nx = X.shape[1]
     if X2 is None:
         X2 = X
+    if component is None:
+        component = base_kernel
     out = None
     for i, name in enumerate(kerns):
         ls = l_flat[i * nx : (i + 1) * nx]
-        ki = kv[i] * base_kernel(name, X, X2, ls, alpha=alpha, diag=diag)
+        ki = kv[i] * component(name, X, X2, ls, alpha=alpha, diag=diag)
         if out is None:
             out = ki
         elif ops[i - 1] == "+":
@@ -104,3 +110,60 @@ def gram(kerns, ops, X, X2, l_flat, kv, alpha=None, diag: bool = False):
         else:
             out = out * ki
     return out
+
+
+# ---------------------------------------------------------------------------
+# TPU fast cross-Gram (fused Pallas tiles, f32 grade)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _component_fast(name, X, X2, ls, alpha):
+    """One component via the fused Pallas distance+kernel tile kernel
+    (pallas_ops.pallas_gram): f32 MXU cross term + VPU transcendental,
+    one HBM pass per output tile.  Tangents fall back to the exact jnp
+    form (Pallas kernels carry no AD rules), so acquisition-refinement
+    gradients through predictions keep working."""
+    from . import pallas_ops
+
+    out = pallas_ops.gram_component(
+        name, X.astype(jnp.float32), X2.astype(jnp.float32),
+        ls.astype(jnp.float32), alpha=alpha.astype(jnp.float32))
+    return out.astype(X.dtype)
+
+
+@_component_fast.defjvp
+def _component_fast_jvp(name, primals, tangents):
+    X, X2, ls, alpha = primals
+
+    def ref(X, X2, ls, alpha):
+        return base_kernel(
+            name, X, X2, ls, alpha=(alpha if name == "RatQuad" else None))
+
+    primal_out = _component_fast(name, X, X2, ls, alpha)
+    _, tangent_out = jax.jvp(ref, primals, tangents)
+    return primal_out, tangent_out
+
+
+def gram_fast(kerns, ops, X, X2, l_flat, kv, alpha=None):
+    """Composite cross-Gram through the fused Pallas tile kernel (f32
+    grade).  Callers own the accuracy trade — see _config.fast_gram."""
+    a = jnp.asarray(1.0 if alpha is None else alpha, X.dtype)
+
+    def component(name, X, X2, ls, alpha=None, diag=False):
+        return _component_fast(name, X, X2 if X2 is not None else X, ls, a)
+
+    return gram(kerns, ops, X, X2, l_flat, kv, alpha=alpha,
+                component=component)
+
+
+def gram_cross(kerns, ops, X, X2, l_flat, kv, alpha=None,
+               diag: bool = False):
+    """Cross-covariance Gram for user-facing prediction paths: the fused
+    Pallas kernel when opted in (_config.fast_gram()), the exact jnp
+    difference form otherwise.  NLML/fit paths must call gram() directly
+    — their accuracy budget needs the exact form."""
+    from .._config import fast_gram
+
+    if diag or not fast_gram():
+        return gram(kerns, ops, X, X2, l_flat, kv, alpha=alpha, diag=diag)
+    return gram_fast(kerns, ops, X, X2, l_flat, kv, alpha=alpha)

@@ -224,10 +224,16 @@ def _subst_inv(L):
 def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int = 256):
     """Lower-triangular inverse: substitution for small matrices, blocked
     substitution (via blocked_solve_lower with identity rhs and per-block
-    substitution inverses) for larger ones."""
+    substitution inverses) for larger ones.  Sizes not divisible by the
+    block are identity-padded (inv([[L,0],[0,I]]) = [[L^-1,0],[0,I]]) so
+    large inputs never fall back to the O(b) row-loop substitution."""
     b = L.shape[0]
-    if b <= base or b % base != 0:
+    if b <= base:
         return _subst_inv(L)
+    if b % base != 0:
+        bp = -(-b // base) * base
+        Lp = jnp.eye(bp, dtype=L.dtype).at[:b, :b].set(L)
+        return tri_inv_mixed(Lp, nslices=nslices, base=base)[:b, :b]
     nb = b // base
     Ldiag = jnp.stack([
         jax.lax.dynamic_slice(L, (j * base, j * base), (base, base))

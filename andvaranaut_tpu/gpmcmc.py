@@ -235,21 +235,22 @@ class GPMCMC(LHC):
             precision_ = kwargs.pop("precision", "f64")
             if precision_ == "mixed":
                 # large-N path: closed-form gradients through the
-                # int8-Ozaki blocked factorisation (gp/bigfit.py)
+                # int8-Ozaki blocked factorisation (gp/bigfit.py); full
+                # kernel algebra supported, learnable warpings stay on
+                # the f64 autodiff path
                 from .gp import bigfit
 
-                if (tuple(self.kerns) != ("RBF",) or iwgp or cwgp):
+                if iwgp or cwgp:
                     raise Exception(
-                        "precision='mixed' fitting currently supports the "
-                        "plain RBF kernel without learnable warpings")
-                xin = np.zeros_like(x)
-                for i in range(self.nx):
-                    xin[:, i] = np.asarray(
-                        self.xconrevs[i].con(x[:, i]))
+                        "precision='mixed' fitting does not support "
+                        "learnable warpings (iwgp/cwgp); use "
+                        "precision='f64'")
+                xin = _apply_conrevs(self.xconrevs, x, "con")
                 yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
                 mp, _logp = bigfit.big_map_fit(
-                    xin, yin, noise=self.noise, jitter=jitter,
-                    start=start, **kwargs)
+                    xin, yin, kerns=tuple(self.kerns), ops=tuple(self.ops),
+                    noise=self.noise, truncate=truncate, jitter=jitter,
+                    start=start, restarts=restarts, **kwargs)
             else:
                 mp, _logp = engine.map_fit(
                     cfg, start=start, restarts=restarts, **kwargs)
@@ -514,17 +515,23 @@ class GPMCMC(LHC):
     def _acq_fn(self, method, opt_type, normvar, has_alpha):
         """Pure batched acquisition: (X, *state args, yopt) -> values to
         MINIMISE; closes only over static config + transform objects."""
+        from ._config import is_tpu
+
         conrevs = list(self.xconrevs)
         yrev = self.yconrevs[0].rev
         kerns, ops = tuple(self.kerns), tuple(self.ops)
         nx = self.nx
+        # acquisition values tolerate f32 noise and are evaluated
+        # thousands of times per BO iteration: on TPU the cross-Gram
+        # rides the fused Pallas tile kernel
+        fast = is_tpu()
 
         def acq(X, xin_p, valid, L, v, l, kv, gv, alpha, yopt):
             cols = [conrevs[i].con(X[:, i]) for i in range(nx)]
             Xc = jnp.stack(cols, axis=1)
             mu, var = engine.predict_from_chol_masked(
                 kerns, ops, xin_p, valid, L, v, Xc, l, kv, gv,
-                alpha if has_alpha else None)
+                alpha if has_alpha else None, fast=fast)
             if method in ("eps-RS", "exploit"):
                 y, _ = quad.gh_stats(yrev, mu, var)
                 return y if opt_type == "min" else -y

@@ -140,9 +140,12 @@ def test_fit_precision_mixed(tmp_path, monkeypatch):
     np.testing.assert_allclose(g.hypers["l"], h0["l"], rtol=5e-2)
     yhat = g.predict(g.x)
     assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
-    # unsupported combos raise clearly
+    # round 2: the full kernel algebra is supported on the mixed path
     g.change_model("Matern52")
+    g.fit(method="map", precision="mixed")
+    assert np.isfinite(np.asarray(g.hypers["l"])).all()
+    # learnable warpings stay on the f64 autodiff path and raise clearly
     import pytest as _pytest
 
-    with _pytest.raises(Exception):
-        g.fit(method="map", precision="mixed")
+    with _pytest.raises(Exception, match="learnable warpings"):
+        g.fit(method="map", precision="mixed", iwgp=True)

@@ -48,3 +48,44 @@ def test_pallas_int_slice_matmul_parity(rng):
     scale = np.abs(A @ B).max()
     assert np.abs(Cf - Cx).max() / scale < 1e-12
     assert np.abs(Cf - A @ B).max() / scale < 1e-9
+
+
+def test_gram_cross_fast_dispatch_parity(rng, monkeypatch):
+    """gram_cross with the fast path forced (interpret-mode Pallas on CPU)
+    must match the exact composite gram to f32 grade, and its custom JVP
+    must match autodiff of the exact form."""
+    import jax
+
+    monkeypatch.setenv("ANDVARANAUT_FAST_GRAM", "1")
+    kerns, ops = ("RBF", "Matern32"), ("+",)
+    n, m, d = 40, 25, 2
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    Y = jnp.asarray(rng.uniform(size=(m, d)))
+    l = jnp.asarray([0.6, 1.1, 0.8, 0.9])
+    kv = jnp.asarray([1.3, 0.7])
+
+    fast = np.asarray(kernels.gram_cross(kerns, ops, X, Y, l, kv))
+    exact = np.asarray(kernels.gram(kerns, ops, X, Y, l, kv))
+    np.testing.assert_allclose(fast, exact, rtol=2e-6, atol=2e-6)
+
+    # tangents must flow (exact-form JVP behind the Pallas primal)
+    def f(lv):
+        return jnp.sum(kernels.gram_cross(kerns, ops, X, Y, lv, kv))
+
+    def f0(lv):
+        return jnp.sum(kernels.gram(kerns, ops, X, Y, lv, kv))
+
+    g_fast = np.asarray(jax.grad(f)(l))
+    g_exact = np.asarray(jax.grad(f0)(l))
+    np.testing.assert_allclose(g_fast, g_exact, rtol=1e-9)
+
+
+def test_gram_cross_disabled_is_exact(rng, monkeypatch):
+    monkeypatch.setenv("ANDVARANAUT_FAST_GRAM", "0")
+    kerns, ops = ("RatQuad",), ()
+    X = jnp.asarray(rng.uniform(size=(10, 2)))
+    l = jnp.asarray([0.6, 1.1])
+    kv = jnp.asarray([1.0])
+    a = np.asarray(kernels.gram_cross(kerns, ops, X, X, l, kv, 1.3))
+    b = np.asarray(kernels.gram(kerns, ops, X, X, l, kv, 1.3))
+    np.testing.assert_array_equal(a, b)

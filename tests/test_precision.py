@@ -6,6 +6,7 @@ with f64 matmul to ~1e-7 relative, blocked Cholesky/solve to similar, and
 the mixed NLML to the 1e-6 parity budget."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -99,31 +100,43 @@ def test_mixed_nlml_smooth_kernel_matrix(rng):
     assert np.isfinite(mixed)
     assert abs(mixed - exact) / abs(exact) < 1e-6, (mixed, exact)
 
-def test_bigfit_gradients_match_autodiff(rng):
-    """Closed-form mixed-path gradients vs autodiff of the exact f64 NLML."""
+@pytest.mark.parametrize("kernel", [
+    "RBF", "Matern52+RBF", "RBF*Matern32", "RatQuad",
+])
+def test_bigfit_gradients_match_autodiff(rng, kernel):
+    """Closed-form mixed-path gradients vs autodiff of the exact f64 NLML,
+    across the full kernel algebra (round-2 extension beyond plain RBF)."""
     import jax
     from andvaranaut_tpu.gp import bigfit, kernels
 
+    kerns, ops = kernels.parse_kernel(kernel)
     n, nx = 96, 2
+    nkern = len(kerns)
+    has_alpha = "RatQuad" in kerns
     X = rng.uniform(size=(n, nx))
     y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
 
     def exact_logl(z):
         gv = jnp.exp(z[0])
-        l = jnp.exp(z[1 : 1 + nx])
-        kv = jnp.exp(z[1 + nx])
-        K = kernels.gram(("RBF",), (), jnp.asarray(X), None, l,
-                         kv[None], None)
+        l = jnp.exp(z[1 : 1 + nx * nkern])
+        kv = jnp.exp(z[1 + nx * nkern : 1 + nx * nkern + nkern])
+        alpha = (
+            jnp.exp(z[1 + nx * nkern + nkern]) if has_alpha else None)
+        K = kernels.gram(kerns, ops, jnp.asarray(X), None, l, kv, alpha)
         K = K + (1e-6 + gv) * jnp.eye(n)
         return engine.chol_nlml(K, jnp.asarray(y))
 
-    z = jnp.asarray([-6.0, -0.5, 0.2, 0.3])
+    dim = 1 + nx * nkern + nkern + (1 if has_alpha else 0)
+    z = jnp.asarray(
+        [-6.0] + [-0.5 + 0.1 * i for i in range(dim - 1)])
     v0 = float(exact_logl(z))
     g0 = np.asarray(jax.grad(exact_logl)(z))
-    v1, g1 = bigfit.rbf_nlml_value_and_grad(
-        jnp.asarray(X), jnp.asarray(y), z, block=48)
+    v1, g1 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, kerns=kerns, ops=ops, block=48)
     np.testing.assert_allclose(float(v1), v0, rtol=1e-8)
-    np.testing.assert_allclose(np.asarray(g1), g0, rtol=1e-5, atol=1e-6)
+    # small-magnitude entries are floored by the slice-arithmetic grade of
+    # the explicit K^-1 (~1e-6 absolute)
+    np.testing.assert_allclose(np.asarray(g1), g0, rtol=1e-5, atol=5e-6)
 
 
 def test_bigfit_matches_engine_map(rng):
@@ -145,3 +158,39 @@ def test_bigfit_matches_engine_map(rng):
     np.testing.assert_allclose(h1["l"], h0["l"], rtol=2e-2)
     np.testing.assert_allclose(h1["kv"], h0["kv"], rtol=5e-2)
     assert abs(lp1 - lp0) < 0.05 * abs(lp0) + 0.5
+
+
+def test_bigfit_composite_truncate(rng):
+    """Composite-kernel mixed MAP with the truncate hyperprior menu must
+    match the exact-f64 engine fit."""
+    from andvaranaut_tpu.gp import bigfit
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n = 80
+    X = rng.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + 0.3 * X[:, 1] + 0.01 * rng.normal(size=n)
+    cfg = engine.FitConfig(
+        kerns=("Matern52", "RBF"), ops=("+",), noise=True, truncate=True,
+        jitter=1e-6, iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y.reshape(-1, 1))
+    h0, lp0 = engine.map_fit(cfg)
+    h1, lp1 = bigfit.big_map_fit(
+        X, y, kerns=("Matern52", "RBF"), ops=("+",), truncate=True,
+        block=48)
+    assert abs(lp1 - lp0) < 0.05 * abs(lp0) + 0.5
+    np.testing.assert_allclose(h1["l"], h0["l"], rtol=0.1)
+
+
+def test_tri_inv_mixed_indivisible_size(rng):
+    """Sizes not divisible by the block must go through the padded blocked
+    path (round-2 fix of the silent full-substitution fallback) and stay
+    accurate."""
+    n = 300  # > base=256 and not a multiple of it
+    A = _spd(n, rng)
+    L = np.linalg.cholesky(A)
+    Linv = np.asarray(precision.tri_inv_mixed(jnp.asarray(L), base=256))
+    err = np.abs(Linv @ L - np.eye(n)).max()
+    assert err < 1e-6, err
+    # strictly lower-triangular result
+    assert np.abs(np.triu(Linv, 1)).max() == 0.0
