@@ -13,6 +13,7 @@ __init__ (reference __init__.py:1-4).
 from . import _config  # noqa: F401  (enables x64 before anything else)
 from . import dists  # noqa: F401
 from . import sampling  # noqa: F401
+from . import timing  # noqa: F401
 from .core import load_object, load_xy, save_object, save_xy  # noqa: F401
 from .lhc import LHC  # noqa: F401
 from .transform import *  # noqa: F401,F403

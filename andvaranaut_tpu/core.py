@@ -304,6 +304,9 @@ class _core:
         xsamps = xsamps[mask]
         ysamps = ysamps[mask]
 
+        from . import timing
+
+        timing.record("vector_solver", t1 - t0)
         if self.verbose:
             print()
             print(f"Time taken: {t1 - t0:0.2f} s")

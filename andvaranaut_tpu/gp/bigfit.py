@@ -106,6 +106,49 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     return logl, grads
 
 
+def make_mixed_objective(X, y, kerns=("RBF",), ops=(), noise=True,
+                         truncate=False, jitter=1e-6, block: int = 256):
+    """(rvpack, neg_log_post) with the NLML through the mixed-precision
+    blocked factorisation and a custom VJP from the closed-form gradient.
+
+    This is the TPU NUTS/MAP objective: reverse-differentiating the f64
+    chol_nlml graph inlines an emulated-f64 Cholesky + XLA
+    triangular_solve into every leapfrog step — both multi-minute-compile
+    pathologies on this platform (docs/TPU_NOTES.md) and the prime
+    suspect in the round-1 axon worker crash at NUTS scale.  Here the
+    compiled program is the compact fori_loop/MXU factorisation, and the
+    'gradient' is just the saved closed-form vector.
+    """
+    X = jnp.asarray(X, dtype=jnp.float64)
+    y1 = jnp.asarray(y, dtype=jnp.float64).reshape(-1)
+    kerns = tuple(kerns)
+    ops = tuple(ops)
+    rvpack = _default_rvpack(X.shape[1], kerns, noise, truncate)
+
+    @jax.custom_vjp
+    def logl_fn(z):
+        val, _ = nlml_value_and_grad(
+            X, y1, z, kerns=kerns, ops=ops, noise=noise, jitter=jitter,
+            block=block, rvpack=rvpack)
+        return val
+
+    def fwd(z):
+        val, grad = nlml_value_and_grad(
+            X, y1, z, kerns=kerns, ops=ops, noise=noise, jitter=jitter,
+            block=block, rvpack=rvpack)
+        return val, grad
+
+    def bwd(grad, ct):
+        return (ct * grad,)
+
+    logl_fn.defvjp(fwd, bwd)
+
+    def neg_log_post(z):
+        return -(logl_fn(z) + rvpack.log_prior(z))
+
+    return rvpack, neg_log_post
+
+
 def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
                 truncate: bool = False, jitter: float = 1e-6,
                 block: int = 1024, maxiter: int = 50, start=None,

@@ -16,12 +16,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .._config import interpret_mode
 
 _TILE = 256
+
+# Index-map constants must be strongly-typed int32: with jax_enable_x64 a
+# bare Python `0` literal becomes an i64 constant next to the i32 program
+# ids, and Mosaic rejects the mixed (i32, i64) index tuple ("failed to
+# legalize operation 'func.return'", observed on v5e).
+_I0 = np.int32(0)
 
 
 def _kernel_eval(name: str, r2, alpha):
@@ -41,51 +48,64 @@ def _kernel_eval(name: str, r2, alpha):
     raise ValueError(name)
 
 
-def _gram_kernel(name, x_ref, y_ref, alpha_ref, o_ref):
-    """One (TILE, TILE) output tile: rows from x_ref, cols from y_ref."""
-    x = x_ref[:]  # (TILE, d) scaled rows
-    y = y_ref[:]  # (TILE, d) scaled cols
-    xn = jnp.sum(x * x, axis=1, keepdims=True)        # (TILE, 1)
-    yn = jnp.sum(y * y, axis=1, keepdims=True).T      # (1, TILE)
-    cross = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    r2 = jnp.maximum(xn + yn - 2.0 * cross, 0.0)
+def _gram_kernel(name, d, x_ref, y_ref, alpha_ref, o_ref):
+    """One (TILE_M, TILE_N) output tile via the per-dimension difference
+    form: rows from x_ref (TILE_M, d), cols from y_ref (d, TILE_N).
+
+    The difference form avoids both the |x|^2+|y|^2-2xy cancellation (its
+    absolute error floor scales with coordinate magnitude, not r2) and a
+    degenerate k=d MXU dot whose d=2 contraction is lane-hostile.  d is
+    tiny, so the loop is d broadcast-subtract-square-accumulate VPU passes
+    over the tile.
+    """
+    r2 = None
+    for k in range(d):
+        xk = x_ref[:, k:k + 1]          # (TILE_M, 1)
+        yk = y_ref[k:k + 1, :]          # (1, TILE_N)
+        diff = xk - yk
+        t = diff * diff
+        r2 = t if r2 is None else r2 + t
     o_ref[:] = _kernel_eval(name, r2, alpha_ref[0]).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("name", "tile"))
-def pallas_gram(name: str, Xs, Ys, alpha=1.0, tile: int = _TILE):
+@partial(jax.jit, static_argnames=("name", "tile_m", "tile_n"))
+def pallas_gram(name: str, Xs, Ys, alpha=1.0, tile_m: int = 512,
+                tile_n: int = 1024):
     """Gram matrix of one kernel component over pre-scaled inputs.
 
     Xs: (n, d) rows / Ys: (m, d) cols, already divided by the ARD
-    lengthscales; returns (n, m) in Xs.dtype.
+    lengthscales; returns (n, m) in Xs.dtype.  Large tiles amortise the
+    per-grid-step overhead (the kernel is a handful of VPU passes per
+    tile); the column input rides transposed (d, m) so its per-tile block
+    is lane-major.
     """
     n, d = Xs.shape
     m = Ys.shape[0]
-    np_ = -(-n // tile) * tile
-    mp_ = -(-m // tile) * tile
+    np_ = -(-n // tile_m) * tile_m
+    mp_ = -(-m // tile_n) * tile_n
     if np_ != n:
         Xs = jnp.pad(Xs, ((0, np_ - n), (0, 0)))
+    YsT = Ys.T
     if mp_ != m:
-        Ys = jnp.pad(Ys, ((0, mp_ - m), (0, 0)))
+        YsT = jnp.pad(YsT, ((0, 0), (0, mp_ - m)))
     alpha_arr = jnp.full((1,), alpha, dtype=Xs.dtype)
 
     out = pl.pallas_call(
-        partial(_gram_kernel, name),
-        grid=(np_ // tile, mp_ // tile),
+        partial(_gram_kernel, name, d),
+        grid=(np_ // tile_m, mp_ // tile_n),
         in_specs=[
-            pl.BlockSpec((tile, d), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_m, d), lambda i, j: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda i, j: (j, 0),
+            pl.BlockSpec((d, tile_n), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i, j: (_I0,),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, mp_), Xs.dtype),
         interpret=interpret_mode(),
-    )(Xs, Ys, alpha_arr)
+    )(Xs, YsT, alpha_arr)
     return out[:n, :m]
 
 

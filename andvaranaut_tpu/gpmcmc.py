@@ -392,17 +392,14 @@ class GPMCMC(LHC):
     def __predict(self, m, gp, hyps, x, jitter=1e-6):
         if self.verbose:
             print("Predicting...")
-        from time import time as stopwatch
-
-        t0 = stopwatch()
         if gp is None:
             raise Exception("Model must be fitted before predicting")
-        state = GPState(
-            gp.kerns, gp.ops, gp.noise, jitter, gp.xin, gp.yin, hyps)
-        y, yv = state.predict(x)
-        t1 = stopwatch()
-        if self.verbose:
-            print(f"Time taken: {t1 - t0:0.2f} s")
+        from . import timing
+
+        with timing.stopwatch("predict", verbose=self.verbose):
+            state = GPState(
+                gp.kerns, gp.ops, gp.noise, jitter, gp.xin, gp.yin, hyps)
+            y, yv = state.predict(x)
         return y.reshape(-1, 1), yv.reshape(-1, 1)
 
     # -- diagnostics ------------------------------------------------------

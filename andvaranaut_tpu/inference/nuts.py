@@ -625,12 +625,47 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
 
 
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
-                 random_seed=0, max_treedepth=10, verbose=False, **kwargs):
+                 random_seed=0, max_treedepth=10, verbose=False,
+                 mixed=None, **kwargs):
     """NUTS posterior over a FitConfig's hyperparameters — the engine-level
-    analogue of pm.sample inside __fit (gpmcmc.py:351)."""
+    analogue of pm.sample inside __fit (gpmcmc.py:351).
+
+    mixed: route the NLML through the blocked mixed-precision
+    factorisation with closed-form gradients (bigfit.make_mixed_objective)
+    — the compact program TPU needs (reverse-differentiated f64
+    chol_nlml inlines platform-pathological ops into every leapfrog).
+    Default: on for TPU when the model has no learnable warpings.
+    """
     from ..gp import engine
 
-    rvpack, nlp = engine.build_objective(cfg)
+    from .._config import is_tpu
+
+    if is_tpu() and draws + tune > 40:
+        import warnings
+
+        warnings.warn(
+            "GP-objective NUTS beyond ~40-60 transitions is known to "
+            "crash this TPU platform's worker process (runtime fault; "
+            "see docs/TPU_NOTES.md and benchmarks/nuts_tpu_repro.py). "
+            "Run MCMC on the CPU backend, or reduce draws+tune.")
+    if mixed is None:
+        mixed = is_tpu() and not cfg.iwgp and not cfg.cwgp
+    if mixed and not cfg.iwgp and not cfg.cwgp:
+        import numpy as _np
+
+        from ..gp import bigfit
+
+        n, nx = cfg.x.shape
+        xin = _np.zeros((n, nx))
+        for i in range(nx):
+            xin[:, i] = _np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
+        yin = _np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
+        rvpack, nlp = bigfit.make_mixed_objective(
+            xin, yin, kerns=cfg.kerns, ops=cfg.ops, noise=cfg.noise,
+            truncate=cfg.truncate, jitter=cfg.jitter,
+            block=min(256, max(32, n // 2)))
+    else:
+        rvpack, nlp = engine.build_objective(cfg)
     z0 = rvpack.z0()
     start = kwargs.pop("start", None)
     if start is not None:

@@ -183,28 +183,149 @@ def meanstd_rev(y, mean, std):
     return _arr(y) * std + mean
 
 
-def quantile_con(y, qt):
-    return qt.transform(np.asarray(y).reshape(-1, 1))[:, 0]
+# -- data-fitted preprocessing (native; no sklearn) -------------------------
+# Fits run once on host (numpy/scipy 1-D MLE); con/rev are pure jnp so the
+# transforms can sit inside jitted graphs.  Semantics match
+# sklearn.preprocessing Quantile/Robust/Power transformers (what the
+# reference wraps at transform.py:66-73,128-135) to interpolation grade.
+
+_QT_BOUND = 1e-7  # sklearn's BOUNDS_THRESHOLD for the normal output
 
 
-def quantile_rev(y, qt):
-    return qt.inverse_transform(np.asarray(y).reshape(-1, 1))[:, 0]
+def _sp_ndtri(q):
+    from scipy.special import ndtri as _ndtri
+
+    return _ndtri(q)
 
 
-def robust_con(y, rs):
-    return rs.transform(np.asarray(y).reshape(-1, 1))[:, 0]
+def quantile_fit(x, n_quantiles=1000):
+    """(quantiles, references) grid of an empirical-CDF map."""
+    x = np.asarray(x, dtype=float).reshape(-1)
+    nq = max(2, min(int(n_quantiles), len(x)))
+    refs = np.linspace(0.0, 1.0, nq)
+    quants = np.nanpercentile(x, refs * 100.0)
+    return jnp.asarray(quants), jnp.asarray(refs)
 
 
-def robust_rev(y, rs):
-    return rs.inverse_transform(np.asarray(y).reshape(-1, 1))[:, 0]
+def quantile_con(y, quants, refs, mode="normal"):
+    y = _arr(y)
+    # two-sided interpolation (handles repeated quantile values the same
+    # way sklearn does)
+    p = 0.5 * (
+        jnp.interp(y, quants, refs)
+        - jnp.interp(-y, -quants[::-1], -refs[::-1]))
+    if mode == "normal":
+        from jax.scipy.special import ndtri
+
+        bound = float(_sp_ndtri(_QT_BOUND))  # host constant (traceable con)
+        return jnp.clip(
+            ndtri(jnp.clip(p, _QT_BOUND, 1.0 - _QT_BOUND)), bound, -bound)
+    return p
 
 
-def powerT_con(y, pt):
-    return pt.transform(np.asarray(y).reshape(-1, 1))[:, 0]
+def quantile_rev(y, quants, refs, mode="normal"):
+    y = _arr(y)
+    if mode == "normal":
+        from jax.scipy.special import ndtr
+
+        y = ndtr(y)
+    return jnp.interp(y, refs, quants)
 
 
-def powerT_rev(y, pt):
-    return pt.inverse_transform(np.asarray(y).reshape(-1, 1))[:, 0]
+def robust_fit(x):
+    """(center, scale) = (median, IQR), zero-IQR guarded like sklearn."""
+    x = np.asarray(x, dtype=float).reshape(-1)
+    center = float(np.median(x))
+    q25, q75 = np.percentile(x, [25.0, 75.0])
+    scale = float(q75 - q25)
+    if scale == 0.0:
+        scale = 1.0
+    return center, scale
+
+
+def robust_con(y, center, scale):
+    return (_arr(y) - center) / scale
+
+
+def robust_rev(y, center, scale):
+    return _arr(y) * scale + center
+
+
+def _yeojohnson_con(y, lam):
+    """Yeo-Johnson forward for a concrete lambda; branch-safe under AD
+    (no NaN in unselected branches)."""
+    y = _arr(y)
+    yp = jnp.where(y >= 0, y, 0.0)
+    yn = jnp.where(y < 0, y, 0.0)
+    if abs(lam) < 1e-12:
+        pos = jnp.log1p(yp)
+    else:
+        pos = ((1.0 + yp) ** lam - 1.0) / lam
+    if abs(lam - 2.0) < 1e-12:
+        neg = -jnp.log1p(-yn)
+    else:
+        neg = -((1.0 - yn) ** (2.0 - lam) - 1.0) / (2.0 - lam)
+    return jnp.where(y >= 0, pos, neg)
+
+
+def _yeojohnson_rev(y, lam):
+    y = _arr(y)
+    yp = jnp.where(y >= 0, y, 0.0)
+    yn = jnp.where(y < 0, y, 0.0)
+    if abs(lam) < 1e-12:
+        pos = jnp.expm1(yp)
+    else:
+        pos = (yp * lam + 1.0) ** (1.0 / lam) - 1.0
+    if abs(lam - 2.0) < 1e-12:
+        neg = -jnp.expm1(-yn)
+    else:
+        neg = 1.0 - (1.0 - (2.0 - lam) * yn) ** (1.0 / (2.0 - lam))
+    return jnp.where(y >= 0, pos, neg)
+
+
+def _boxcox_plain_con(y, lam):
+    y = _arr(y)
+    if abs(lam) < 1e-12:
+        return jnp.log(y)
+    return (y ** lam - 1.0) / lam
+
+
+def _boxcox_plain_rev(y, lam):
+    y = _arr(y)
+    if abs(lam) < 1e-12:
+        return jnp.exp(y)
+    return (y * lam + 1.0) ** (1.0 / lam)
+
+
+def power_fit(x, method="yeo-johnson", standardize=True):
+    """(lambda, mean, std) by 1-D profile MLE (scipy.stats normmax — the
+    same optimisation sklearn's PowerTransformer runs)."""
+    import scipy.stats as st
+
+    x = np.asarray(x, dtype=float).reshape(-1)
+    if method == "yeo-johnson":
+        lam = float(st.yeojohnson_normmax(x))
+        xt = st.yeojohnson(x, lmbda=lam)
+    elif method == "box-cox":
+        lam = float(st.boxcox_normmax(x, method="mle"))
+        xt = st.boxcox(x, lmbda=lam)
+    else:
+        raise Exception(
+            "Error: power transform method must be 'yeo-johnson' or "
+            "'box-cox'")
+    if standardize:
+        return lam, float(np.mean(xt)), float(np.std(xt))
+    return lam, 0.0, 1.0
+
+
+def powerT_con(y, lam, mean, std, method="yeo-johnson"):
+    f = _yeojohnson_con if method == "yeo-johnson" else _boxcox_plain_con
+    return (f(y, lam) - mean) / std
+
+
+def powerT_rev(y, lam, mean, std, method="yeo-johnson"):
+    f = _yeojohnson_rev if method == "yeo-johnson" else _boxcox_plain_rev
+    return f(_arr(y) * std + mean, lam)
 
 
 # ---------------------------------------------------------------------------
@@ -306,55 +427,61 @@ class normalise(_Transform):
 
 
 class quantile(_Transform):
-    """sklearn QuantileTransformer-backed (host-side; reference
-    transform.py:171-177)."""
+    """Empirical-CDF quantile map to a uniform or normal target (native
+    rebuild of the sklearn-backed reference transform, transform.py:171-177);
+    con/rev are pure jnp interpolations."""
 
     def __init__(self, x, mode="normal"):
-        from sklearn.preprocessing import QuantileTransformer
-
         self.mode = mode
-        self.qt = QuantileTransformer(output_distribution=mode)
-        self.qt.fit(np.asarray(x).reshape(-1, 1))
+        self.quants, self.refs = quantile_fit(x)
 
     def con(self, y):
-        return quantile_con(y, self.qt)
+        return quantile_con(y, self.quants, self.refs, self.mode)
 
     def rev(self, y):
-        return quantile_rev(y, self.qt)
+        return quantile_rev(y, self.quants, self.refs, self.mode)
 
 
 class robust(_Transform):
-    def __init__(self, x):
-        from sklearn.preprocessing import RobustScaler
+    """Median/IQR scaling (native rebuild of sklearn RobustScaler;
+    reference transform.py:178-183)."""
 
-        self.rs = RobustScaler()
-        self.rs.fit(np.asarray(x).reshape(-1, 1))
+    def __init__(self, x):
+        self.center, self.scale = robust_fit(x)
 
     def con(self, y):
-        return robust_con(y, self.rs)
+        return robust_con(y, self.center, self.scale)
 
     def rev(self, y):
-        return robust_rev(y, self.rs)
+        return robust_rev(y, self.center, self.scale)
 
 
 class powerT(_Transform):
-    """Yeo-Johnson/Box-Cox with lambda clamped to [-0.01, 1.0] (reference
-    transform.py:190)."""
+    """Yeo-Johnson/Box-Cox power transform, lambda by 1-D profile MLE and
+    clamped to [-0.01, 1.0] as in the reference (transform.py:190);
+    standardised output, pure-jnp con/rev."""
 
     def __init__(self, x, method="yeo-johnson"):
-        from sklearn.preprocessing import PowerTransformer
-
         self.method = method
-        self.pt = PowerTransformer(method=method)
-        self.pt.fit(np.asarray(x).reshape(-1, 1))
-        lamb = self.pt.lambdas_[0]
-        self.pt.lambdas_[0] = np.minimum(np.maximum(-0.01, lamb), 1.0)
+        lam, mean, std = power_fit(x, method=method, standardize=True)
+        self.lam = float(np.clip(lam, -0.01, 1.0))
+        if self.lam != lam:
+            # re-standardise against the clamped lambda
+            import scipy.stats as st
+
+            xt = (
+                st.yeojohnson(np.asarray(x, dtype=float), lmbda=self.lam)
+                if method == "yeo-johnson"
+                else st.boxcox(np.asarray(x, dtype=float), lmbda=self.lam))
+            mean, std = float(np.mean(xt)), float(np.std(xt))
+        self.mean = mean
+        self.std = std
 
     def con(self, y):
-        return powerT_con(y, self.pt)
+        return powerT_con(y, self.lam, self.mean, self.std, self.method)
 
     def rev(self, y):
-        return powerT_rev(y, self.pt)
+        return powerT_rev(y, self.lam, self.mean, self.std, self.method)
 
 
 class logarithm(_Transform):
@@ -487,8 +614,8 @@ class boxcox(_Transform):
 
 
 class boxcoxf(boxcox):
-    """Box-Cox with lambda auto-fitted (sklearn, host-side; reference
-    transform.py:339-343)."""
+    """Box-Cox with lambda auto-fitted by 1-D profile MLE (native rebuild
+    of the sklearn-backed reference transform, transform.py:339-343)."""
 
     def __init__(self, y):
         if not _is_concrete(y):
@@ -496,11 +623,11 @@ class boxcoxf(boxcox):
                 "boxcoxf requires concrete data to fit lambda; it cannot be "
                 "fitted inside a traced (learnable-warping) computation."
             )
-        from sklearn.preprocessing import PowerTransformer
+        import scipy.stats as st
 
-        powt = PowerTransformer(method="box-cox", standardize=False)
-        powt.fit(np.asarray(y).reshape(-1, 1))
-        self.lamb = float(powt.lambdas_[0])
+        self.lamb = float(
+            st.boxcox_normmax(np.asarray(y, dtype=float).reshape(-1),
+                              method="mle"))
         self.default_priors = [dists.Normal(0.0, 1.0)]
 
 

@@ -48,6 +48,13 @@ def bench_predict(n_train=512, n_pred=10000, nx=2):
 
 
 def bench_nuts(n=256, chains=8, draws=500, tune=500):
+    if jax.default_backend() not in ("cpu", "gpu"):
+        # Documented platform cap (docs/TPU_NOTES.md + nuts_tpu_repro.py):
+        # GP-objective NUTS beyond ~60 transitions crashes this TPU
+        # runtime's worker; bench the safe single-launch config instead.
+        print("TPU backend: GP NUTS capped to the safe config "
+              "(see docs/TPU_NOTES.md / benchmarks/nuts_tpu_repro.py)")
+        n, chains, draws, tune = 128, 2, 20, 20
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, 2))
     y = (np.sin(3 * X[:, 0]) + X[:, 1] ** 2).reshape(-1, 1)

@@ -166,3 +166,53 @@ def test_mcmc_to_inference_data_schema():
         assert hasattr(out, "posterior")
     except ImportError:
         assert out["posterior"]["a"].shape == (4, 50)
+
+
+def test_mixed_objective_matches_f64(rng):
+    """The mixed-precision NUTS objective (closed-form custom VJP) must
+    match the f64 autodiff objective in value and gradient."""
+    from andvaranaut_tpu.gp import bigfit, engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n = 64
+    X = rng.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + 0.2 * X[:, 1]
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y.reshape(-1, 1))
+    rv0, nlp0 = engine.build_objective(cfg)
+    rv1, nlp1 = bigfit.make_mixed_objective(X, y, block=32)
+    z = np.asarray(rv0.z0()) + 0.1
+    v0, g0 = jax.value_and_grad(nlp0)(jnp.asarray(z))
+    v1, g1 = jax.value_and_grad(nlp1)(jnp.asarray(z))
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=5e-6)
+
+
+def test_sample_model_mixed_path(rng):
+    """NUTS through the mixed objective recovers the same posterior as the
+    f64 path on a small GP."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n = 48
+    X = rng.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + 0.2 * X[:, 1] + 0.05 * rng.normal(size=n)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y.reshape(-1, 1))
+    d0 = nuts.sample_model(cfg, draws=150, tune=150, chains=4,
+                           random_seed=0, mixed=False)
+    d1 = nuts.sample_model(cfg, draws=150, tune=150, chains=4,
+                           random_seed=0, mixed=True)
+    m0 = d0.posterior_mean()
+    m1 = d1.posterior_mean()
+    for k in m0:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m0[k]), rtol=0.35, atol=0.05,
+            err_msg=k)

@@ -170,3 +170,85 @@ def test_conmc_aliases():
     np.testing.assert_allclose(np.asarray(t.conmc(y)), np.asarray(t.con(y)))
     np.testing.assert_allclose(np.asarray(t.revmc(y)), np.asarray(t.rev(y)))
     np.testing.assert_allclose(np.asarray(t.dermc(y)), np.asarray(t.der(y)))
+
+
+# -- native preprocessing fits vs sklearn (round 2: sklearn removed from
+#    the runtime path; kept here as the parity oracle) -----------------------
+
+def test_quantile_matches_sklearn(rng):
+    from sklearn.preprocessing import QuantileTransformer
+
+    x = rng.normal(size=400) * 2.0 + 1.0
+    y = rng.normal(size=50) * 2.0 + 1.0
+    for mode in ("normal", "uniform"):
+        ours = tf.quantile(x, mode=mode)
+        sk = QuantileTransformer(
+            n_quantiles=min(1000, len(x)), output_distribution=mode)
+        sk.fit(x.reshape(-1, 1))
+        np.testing.assert_allclose(
+            np.asarray(ours.con(y)), sk.transform(y.reshape(-1, 1))[:, 0],
+            rtol=1e-6, atol=1e-6, err_msg=mode)
+        z = np.asarray(ours.con(y))
+        np.testing.assert_allclose(
+            np.asarray(ours.rev(z)),
+            sk.inverse_transform(z.reshape(-1, 1))[:, 0],
+            rtol=1e-6, atol=1e-6, err_msg=mode)
+
+
+def test_robust_matches_sklearn(rng):
+    from sklearn.preprocessing import RobustScaler
+
+    x = rng.normal(size=300) * 3.0 - 2.0
+    y = rng.normal(size=40)
+    ours = tf.robust(x)
+    sk = RobustScaler().fit(x.reshape(-1, 1))
+    np.testing.assert_allclose(
+        np.asarray(ours.con(y)), sk.transform(y.reshape(-1, 1))[:, 0],
+        rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours.rev(ours.con(y))), y,
+                               rtol=1e-10)
+
+
+def test_powerT_matches_sklearn(rng):
+    from sklearn.preprocessing import PowerTransformer
+
+    x = np.exp(rng.normal(size=300))  # skewed, positive
+    y = np.exp(rng.normal(size=30))
+    ours = tf.powerT(x)
+    sk = PowerTransformer(method="yeo-johnson").fit(x.reshape(-1, 1))
+    lam_sk = float(np.clip(sk.lambdas_[0], -0.01, 1.0))
+    assert abs(ours.lam - lam_sk) < 1e-4
+    np.testing.assert_allclose(np.asarray(ours.rev(ours.con(y))), y,
+                               rtol=1e-8)
+
+
+def test_powerT_boxcox_mode(rng):
+    x = np.exp(rng.normal(size=200))
+    y = np.exp(rng.normal(size=20))
+    ours = tf.powerT(x, method="box-cox")
+    np.testing.assert_allclose(np.asarray(ours.rev(ours.con(y))), y,
+                               rtol=1e-8)
+
+
+def test_boxcoxf_lambda_matches_sklearn(rng):
+    from sklearn.preprocessing import PowerTransformer
+
+    x = np.exp(rng.normal(size=250)) + 0.1
+    ours = tf.boxcoxf(x)
+    sk = PowerTransformer(method="box-cox", standardize=False)
+    sk.fit(x.reshape(-1, 1))
+    assert abs(ours.lamb - float(sk.lambdas_[0])) < 1e-4
+
+
+def test_quantile_con_traceable(rng):
+    """Native con/rev are pure jnp: they must trace under jit (the
+    sklearn-backed versions could not)."""
+    import jax
+
+    x = rng.normal(size=100)
+    t = tf.quantile(x)
+    out = jax.jit(t.con)(jnp.asarray(rng.normal(size=10)))
+    assert np.isfinite(np.asarray(out)).all()
+    t2 = tf.powerT(np.exp(rng.normal(size=100)))
+    out2 = jax.jit(t2.con)(jnp.asarray(np.exp(rng.normal(size=10))))
+    assert np.isfinite(np.asarray(out2)).all()
