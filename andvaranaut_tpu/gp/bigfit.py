@@ -92,17 +92,56 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     Linv = precision.blocked_solve_lower(L, eye, block=block, Dinv=Dinv)
     Kinv = precision.slice_matmul(Linv.T, Linv)
 
-    def grad_one(i):
-        e = jnp.zeros_like(z).at[i].set(1.0)
-        _, dK = jax.jvp(gram_fn, (z,), (e,))
-        # 1/2 a' dK a - 1/2 tr(Kinv dK), both as fused elementwise
-        # broadcast-reduces (emulated-f64 dot_general is a memory
-        # pathology on this platform)
-        quad = jnp.sum((alpha_vec[:, None] * alpha_vec[None, :]) * dK)
-        tr = jnp.sum(Kinv * dK)
-        return 0.5 * (quad - tr)
+    # All hyperparameter gradients via reverse AD of the ELEMENTWISE Gram
+    # assembly with a and K^-1 held constant:
+    #   d/dz sum(W o K(z)) = (a' dK a - tr(K^-1 dK)) / 2 per entry,
+    #   W = (a a' - K^-1) / 2.
+    # The contraction is scanned over column blocks so the backward
+    # cotangent planes are (n, gb) instead of (n, n): a whole-matrix
+    # reverse pass peaked at 18.5G HBM at 16k (per-dim difference
+    # residuals + cotangent accumulators), OOMing the 16G chip.
+    a_c = jax.lax.stop_gradient(alpha_vec)
+    Kinv_c = jax.lax.stop_gradient(Kinv)
+    gb = min(2048, n)
+    npad_cols = -(-n // gb) * gb
+    nblocks = npad_cols // gb
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # padded copies used only for column-block slicing; row-side operands
+    # stay at their true size n
+    Xp = jnp.pad(X, ((0, npad_cols - n), (0, 0)))
+    ap = jnp.pad(a_c, (0, npad_cols - n))
+    Kinvp = jnp.pad(Kinv_c, ((0, 0), (0, npad_cols - n)))
 
-    grads = jnp.stack([grad_one(i) for i in range(z.shape[0])])
+    def gram_cols(zz, XB, s):
+        """Columns [s, s+gb) of K(zz) incl. the (jitter+gv) diagonal."""
+        vals = rvpack.unpack(zz)
+        gv_ = vals["gv"][0] if noise else jnp.asarray(0.0, zz.dtype)
+        l_ = vals["l"]
+        kv_ = vals["kv"]
+        alpha_ = vals["alpha"][0] if has_alpha else None
+        Kc = kernels.gram(kerns, ops, X, XB, l_, kv_, alpha_)
+        col_ids = s + jax.lax.broadcasted_iota(jnp.int32, (1, gb), 1)
+        diag = (row_ids == col_ids).astype(Kc.dtype)
+        return Kc + (jitter + gv_) * diag
+
+    def block_term(carry, s):
+        XB = jax.lax.dynamic_slice(Xp, (s, 0), (gb, nx))
+        aB = jax.lax.dynamic_slice(ap, (s,), (gb,))
+        KinvB = jax.lax.dynamic_slice(Kinvp, (0, s), (n, gb))
+        # zero weights on padded phantom columns
+        col_ids = s + jnp.arange(gb)
+        WB = jnp.where(
+            (col_ids < n)[None, :],
+            0.5 * (a_c[:, None] * aB[None, :] - KinvB), 0.0)
+
+        @jax.checkpoint
+        def h(zz):
+            return jnp.sum(WB * gram_cols(zz, XB, s))
+
+        return carry + jax.grad(h)(z), None
+
+    starts = jnp.arange(nblocks) * gb
+    grads, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
     return logl, grads
 
 
