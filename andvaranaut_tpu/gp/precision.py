@@ -226,7 +226,16 @@ def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int = 256):
     substitution (via blocked_solve_lower with identity rhs and per-block
     substitution inverses) for larger ones.  Sizes not divisible by the
     block are identity-padded (inv([[L,0],[0,I]]) = [[L^-1,0],[0,I]]) so
-    large inputs never fall back to the O(b) row-loop substitution."""
+    large inputs never fall back to the O(b) row-loop substitution.
+
+    A batched binary-tree inverse (pair-merging
+    inv([[A,0],[B,C]]) = [[Ai,0],[-Ci B Ai, Ci]]) was tried in round 2:
+    ~O(base + log b) sequential chain, but the explicit inverse
+    composition amplifies error ~quadratically with the factor's
+    condition number — measured 3.0e-6 NLML error at 16k on real
+    kernel-matrix factors, breaking the 1e-6 parity budget, for only a
+    3% wall-clock win.  Substitution's linear error growth stays at
+    4.8e-7; accuracy wins."""
     b = L.shape[0]
     if b <= base:
         return _subst_inv(L)
@@ -266,40 +275,18 @@ def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
     return x[:, 0] if squeeze else x
 
 
-def blocked_cholesky(K, block: int = 256, mixed: bool = True,
-                     nslices: int = DEFAULT_NSLICES,
-                     return_inv: bool = False):
-    """Right-looking blocked Cholesky.
-
-    Diagonal factorisations run in true f64 (cheap O(N b^2) emulated work);
-    the O(N^3) panel products and trailing syrk updates run through
-    slice_matmul when mixed=True.
-
-    Implemented as a lax.fori_loop over block columns with fixed-shape
-    masked full-height updates: XLA compiles ONE loop body regardless of
-    N/block (per-shape TPU compiles cost minutes on this platform; an
-    unrolled shrinking-trailing-matrix loop was prohibitively slow to
-    compile).  The masked updates cost ~3x the shrinking-loop FLOPs — a
-    good trade against MXU throughput.
-    """
-    n0 = K.shape[0]
-    if n0 <= block:
-        L = _chol_f64(K)
-        if return_inv:
-            return L, tri_inv_mixed(L, nslices=nslices)[None]
-        return L
-    nb = -(-n0 // block)
-    n = nb * block
-    if n != n0:
-        # pad with identity to keep the factorisation well-posed
-        Kp = jnp.eye(n, dtype=K.dtype)
-        Kp = Kp.at[:n0, :n0].set(K)
-        K = Kp
+def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
+    """`nsteps` right-looking factorisation steps on the active (m, m)
+    submatrix A, with fixed-shape masked full-height updates (ONE compiled
+    fori body per active size).  Finished L columns accumulate in A's
+    lower triangle; returns (A, (nsteps, block, block) diagonal-block
+    inverses)."""
+    m = A.shape[0]
     mm = (
         partial(slice_matmul, nslices=nslices) if mixed
         else lambda a, b: a @ b
     )
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
     def body(j, carry):
         # in-place factorisation: finished L columns live in A's lower
@@ -314,10 +301,10 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
         Linv = (
             tri_inv_mixed(Ljj, nslices=nslices, base=128) if mixed
             else jax.scipy.linalg.solve_triangular(
-                Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
+                Ljj, jnp.eye(block, dtype=A.dtype), lower=True))
         Dinv = jax.lax.dynamic_update_slice(
             Dinv, Linv[None], (j, 0, 0))
-        cols = jax.lax.dynamic_slice(A, (0, lo), (n, block))
+        cols = jax.lax.dynamic_slice(A, (0, lo), (m, block))
         below = row_idx >= lo + block
         panel = jnp.where(below, mm(cols, Linv.T), 0.0)
         # trailing syrk; masked panel rows make this a no-op outside the
@@ -328,9 +315,69 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
         A = jax.lax.dynamic_update_slice(A, Lcol, (0, lo))
         return A, Dinv
 
-    Dinv0 = jnp.zeros((nb, block, block), dtype=K.dtype)
-    A, Dinv = jax.lax.fori_loop(0, nb, body, (K, Dinv0))
-    L = jnp.tril(A)
+    Dinv0 = jnp.zeros((nsteps, block, block), dtype=A.dtype)
+    return jax.lax.fori_loop(0, nsteps, body, (A, Dinv0))
+
+
+def blocked_cholesky(K, block: int = 256, mixed: bool = True,
+                     nslices: int = DEFAULT_NSLICES,
+                     return_inv: bool = False):
+    """Right-looking blocked Cholesky with dyadically-shrinking height.
+
+    Diagonal factorisations run in true f64 (cheap O(N b^2) emulated work);
+    the O(N^3) panel products and trailing syrk updates run through
+    slice_matmul when mixed=True.
+
+    Masked full-height updates keep every level's fori body a single
+    compiled program (per-shape TPU compiles cost minutes on this
+    platform), but a SINGLE full-height loop pays ~3x the shrinking-loop
+    FLOPs.  Instead the factorisation halves: factor the first half of
+    the active submatrix's block columns at its height, then statically
+    slice the bottom-right half and recurse — ~log2(nb) compiled bodies,
+    total syrk work ~1.7x ideal instead of 3x (measured 2.9 s -> see
+    TPU_NOTES for the round-2 number at 16k).
+    """
+    n0 = K.shape[0]
+    if n0 <= block:
+        L = _chol_f64(K)
+        if return_inv:
+            return L, tri_inv_mixed(L, nslices=nslices)[None]
+        return L
+    nb = -(-n0 // block)
+    n = nb * block
+    if n != n0:
+        # pad with identity to keep the factorisation well-posed
+        Kp = jnp.eye(n, dtype=K.dtype)
+        Kp = Kp.at[:n0, :n0].set(K)
+        K = Kp
+
+    L = jnp.zeros((n, n), dtype=K.dtype)
+    Dparts = []
+    A = K
+    offset = 0
+    m = n
+    while True:
+        nbl = m // block
+        if nbl == 1:
+            Ljj = _chol_f64(A)
+            Linv = (
+                tri_inv_mixed(Ljj, nslices=nslices, base=128) if mixed
+                else jax.scipy.linalg.solve_triangular(
+                    Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
+            L = jax.lax.dynamic_update_slice(L, Ljj, (offset, offset))
+            Dparts.append(Linv[None])
+            break
+        nsteps = (nbl + 1) // 2
+        A, Dpart = _chol_steps(A, nsteps, block, mixed, nslices)
+        h = nsteps * block
+        L = jax.lax.dynamic_update_slice(
+            L, jnp.tril(A)[:, :h], (offset, offset))
+        Dparts.append(Dpart)
+        A = A[h:, h:]
+        offset += h
+        m -= h
+
+    Dinv = jnp.concatenate(Dparts, axis=0)
     if n != n0:
         L = L[:n0, :n0]
     if return_inv:
