@@ -165,6 +165,288 @@ def make_sharded_nlml(mesh: Mesh, kerns, ops, noise: bool,
     return build_rvpack, neg_log_post
 
 
+# ---------------------------------------------------------------------------
+# Distributed closed-form value-and-grad (the multi-chip bigfit)
+# ---------------------------------------------------------------------------
+
+def _mv(M, v):
+    """f64 matvec as an elementwise broadcast-reduce: XLA's emulated-f64
+    dot_general materialises O(m^2) f32 component planes on TPU (platform
+    pathology, docs/TPU_NOTES.md); the elementwise form fuses."""
+    return jnp.sum(M * v[None, :], axis=1)
+
+
+def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
+                                 noise: bool = True, truncate: bool = False,
+                                 jitter: float = 1e-6, block: int = 256,
+                                 grad_block: int = 2048, mixed: bool = True,
+                                 axis: str = "data"):
+    """(rvpack, neg_log_post, value_and_grad) with the FULL closed-form
+    NLML gradient pipeline distributed over the mesh — the multi-chip
+    analogue of bigfit.make_mixed_objective (single-chip 16k MAP engine).
+
+    Every O(N^2)-memory / O(N^3)-FLOP stage is row-sharded; no device ever
+    materialises an N x N matrix:
+
+      1. Gram row block per device (vs an all-gathered copy of the small X).
+      2. Block-row right-looking Cholesky (psum diagonal broadcast,
+         redundant m x m diagonal factorisations — free in wall-clock,
+         every device would otherwise idle — local panel solves through
+         explicit mixed-precision triangular inverses, all-gathered panel
+         columns for the trailing update).  Fused forward substitution
+         gives beta = L^-1 y, the quadratic form and the log-determinant,
+         all replicated.
+      3. alpha = K^-1 y by blocked backward substitution: per step one
+         m-vector psum assembles the cross-device contribution.
+      4. L^-1 row blocks by a broadcast pipeline: at step k device k's
+         finished (m, n) row block is psum-broadcast and folded into every
+         later device's running substitution sum.
+      5. K^-1 row blocks by REDUCE-SCATTER: device k computes
+         B_kc^T B_k: for every column block c from its own L^-1 row block;
+         psum_scatter sums over k and lands row block c on device c — the
+         ring-style panel-exchange collective SURVEY.md §5 designates for
+         this workload.
+      6. Gradient row contraction: grad = psum_d d/dz sum(W_d o K_d(z))
+         with W_d = (alpha_d alpha^T - Kinv_d)/2, the Gram jvp scanned over
+         column blocks (bounded cotangent planes, as in bigfit).
+
+    mixed=True routes all O(N^3) products through the int8-Ozaki MXU
+    slice_matmul and the diagonal factorisations through the blocked
+    mixed-precision Cholesky — no XLA triangular_solve and no f64
+    dot_general anywhere, so the SAME program is TPU-clean (the autodiff
+    make_sharded_nlml path above relies on reverse-mode through
+    solve_triangular: fine on the CPU test mesh, a multi-minute-compile
+    pathology on real chips).
+
+    Reference anchor: this replaces pm.find_MAP's PyTensor logp+dlogp at
+    scale (ref gpmcmc.py:326-346) where the reference's only axis was
+    single-host BLAS threads.
+    """
+    from . import bigfit, precision
+
+    D = mesh.shape[axis]
+    X = jnp.asarray(X, jnp.float64)
+    y1 = jnp.asarray(y, jnp.float64).reshape(-1)
+    kerns = tuple(kerns)
+    ops = tuple(ops)
+    has_alpha = "RatQuad" in kerns
+    nx = X.shape[1]
+    rvpack = bigfit._default_rvpack(nx, kerns, noise, truncate)
+
+    n0 = X.shape[0]
+    npad = -(-n0 // D) * D
+    m = npad // D
+    n = npad
+    Xp = jnp.pad(X, ((0, npad - n0), (0, 0)))
+    yp = jnp.pad(y1, (0, npad - n0))
+    gb = min(grad_block, n)
+    while n % gb:
+        gb //= 2
+    nblocks = n // gb
+
+    if mixed:
+        mm = precision.slice_matmul
+
+        def chol_inv(Akk):
+            Lkk = precision.blocked_cholesky(Akk, block=block, mixed=True)
+            return Lkk, precision.tri_inv_mixed(Lkk, base=min(block, 128))
+    else:
+        def mm(a, b):
+            return a @ b
+
+        def chol_inv(Akk):
+            Lkk = jnp.linalg.cholesky(Akk)
+            return Lkk, jax.scipy.linalg.solve_triangular(
+                Lkk, jnp.eye(Lkk.shape[0], dtype=Lkk.dtype), lower=True)
+
+    def _gram_rows(z, X_loc, X_cols, grow, gcol):
+        """Local Gram rows of K(z) against column inputs X_cols, with the
+        phantom-padding identity block and the (jitter+gv) diagonal."""
+        vals = rvpack.unpack(z)
+        gv = vals["gv"][0] if noise else jnp.asarray(0.0, z.dtype)
+        l = vals["l"]
+        kv = vals["kv"]
+        al = vals["alpha"][0] if has_alpha else None
+        K = kernels.gram(kerns, ops, X_loc, X_cols, l, kv, al)
+        real = (grow < n0)[:, None] & (gcol < n0)[None, :]
+        K = jnp.where(real, K, 0.0)
+        diag = (grow[:, None] == gcol[None, :]).astype(K.dtype)
+        return K + diag * jnp.where((grow < n0)[:, None], jitter + gv, 1.0)
+
+    def _spmd_value_grad(X_loc, y_loc, z):
+        d = jax.lax.axis_index(axis)
+        X_full = jax.lax.all_gather(X_loc, axis, tiled=True)  # (n, nx)
+        grow = d * m + jnp.arange(m)
+        gcol = jnp.arange(n)
+        K_loc = _gram_rows(z, X_loc, X_full, grow, gcol)
+        y_loc = jnp.where(grow < n0, y_loc, 0.0)
+
+        # -- stage 2: distributed factorisation + fused forward subst.
+        A = K_loc
+        r = y_loc
+        L_loc = jnp.zeros((m, n), A.dtype)
+        Linvs = jnp.zeros((D, m, m), A.dtype)
+        beta = jnp.zeros((n,), A.dtype)
+        quad = jnp.zeros((), A.dtype)
+        logdet = jnp.zeros((), A.dtype)
+        for k in range(D):
+            lo = k * m
+            blk = A[:, lo:lo + m]
+            Akk = jax.lax.psum(jnp.where(d == k, blk, 0.0), axis)
+            Lkk, Linv_kk = chol_inv(Akk)
+            Pd = mm(blk, Linv_kk.T)
+            Ldk = jnp.where(d == k, Lkk, jnp.where(d > k, Pd, 0.0))
+            rk = jax.lax.psum(jnp.where(d == k, r, 0.0), axis)
+            bk = _mv(Linv_kk, rk)
+            r = r - _mv(Ldk, bk)
+            quad = quad + jnp.dot(bk, bk)
+            logdet = logdet + jnp.sum(jnp.log(jnp.diag(Lkk)))
+            L_loc = L_loc.at[:, lo:lo + m].set(Ldk)
+            Linvs = Linvs.at[k].set(Linv_kk)
+            beta = beta.at[lo:lo + m].set(bk)
+            if k + 1 < D:
+                panel = jax.lax.all_gather(Ldk, axis, tiled=True)
+                A = A.at[:, lo + m:].add(-mm(Ldk, panel[lo + m:, :].T))
+        logl = -0.5 * quad - logdet - 0.5 * n0 * _LOG_2PI
+
+        # -- stage 3: alpha = K^-1 y = L^-T beta (replicated)
+        alpha_vec = jnp.zeros((n,), A.dtype)
+        for k in range(D - 1, -1, -1):
+            lo = k * m
+            a_d = jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,))
+            contrib = jnp.where(
+                d > k, _mv(L_loc[:, lo:lo + m].T, a_d), 0.0)
+            s = jax.lax.psum(contrib, axis)
+            ak = _mv(Linvs[k].T, beta[lo:lo + m] - s)
+            alpha_vec = alpha_vec.at[lo:lo + m].set(ak)
+
+        # -- stage 4: B_loc = local row block of L^-1 (broadcast pipeline)
+        S = jnp.zeros((m, n), A.dtype)
+        B_loc = jnp.zeros((m, n), A.dtype)
+        col = jnp.arange(n)
+        for k in range(D):
+            lo = k * m
+            Ek = (col[None, :] == (lo + jnp.arange(m))[:, None]).astype(
+                A.dtype)
+            Sk = jax.lax.psum(jnp.where(d == k, S, 0.0), axis)
+            Bk = mm(Linvs[k], Ek - Sk)  # redundant, but all devices idle
+            B_loc = jnp.where(d == k, Bk, B_loc)
+            if k + 1 < D:
+                S = S + jnp.where(d > k, 1.0, 0.0) * mm(
+                    L_loc[:, lo:lo + m], Bk)
+
+        # -- stage 5: Kinv row block via reduce-scatter over panel products
+        prods = jnp.stack(
+            [mm(B_loc[:, c * m:(c + 1) * m].T, B_loc) for c in range(D)])
+        Kinv_loc = jax.lax.psum_scatter(
+            prods, axis, scatter_dimension=0, tiled=False)
+
+        # -- stage 6: gradient row contraction, scanned over column blocks
+        a_loc = jax.lax.stop_gradient(
+            jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,)))
+        a_full = jax.lax.stop_gradient(alpha_vec)
+        Kinv_c = jax.lax.stop_gradient(Kinv_loc)
+        real_row = (grow < n0)
+
+        def block_term(carry, s):
+            XB = jax.lax.dynamic_slice(X_full, (s, 0), (gb, nx))
+            aB = jax.lax.dynamic_slice(a_full, (s,), (gb,))
+            KinvB = jax.lax.dynamic_slice(Kinv_c, (0, s), (m, gb))
+            gcolB = s + jnp.arange(gb)
+            WB = jnp.where(
+                real_row[:, None] & (gcolB < n0)[None, :],
+                0.5 * (a_loc[:, None] * aB[None, :] - KinvB), 0.0)
+
+            @jax.checkpoint
+            def h(zz):
+                return jnp.sum(WB * _gram_rows(zz, X_loc, XB, grow, gcolB))
+
+            return carry + jax.grad(h)(z), None
+
+        starts = jnp.arange(nblocks) * gb
+        g_loc, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
+        grad = jax.lax.psum(g_loc, axis)
+        return logl, grad
+
+    # check_vma=False: the varying-manual-axes tracker rejects scan
+    # carries initialised from literals inside the nested slice-matmul
+    # programs (the carry starts axis-invariant, the body makes it
+    # varying); the collectives themselves are explicit psums here, so
+    # the replication bookkeeping adds nothing.
+    spmd = jax.jit(jax.shard_map(
+        _spmd_value_grad, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P()),
+        out_specs=(P(), P()), check_vma=False))
+
+    Xs = jax.device_put(Xp, NamedSharding(mesh, P(axis, None)))
+    ys = jax.device_put(yp, NamedSharding(mesh, P(axis)))
+
+    def value_and_grad(z):
+        """(logl, dlogl/dz), both replicated."""
+        return spmd(Xs, ys, z)
+
+    @jax.custom_vjp
+    def logl_fn(z):
+        return value_and_grad(z)[0]
+
+    def fwd(z):
+        return value_and_grad(z)
+
+    def bwd(grad, ct):
+        return (ct * grad,)
+
+    logl_fn.defvjp(fwd, bwd)
+
+    def neg_log_post(z):
+        return -(logl_fn(z) + rvpack.log_prior(z))
+
+    return rvpack, neg_log_post, value_and_grad
+
+
+def sharded_big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
+                        truncate: bool = False, jitter: float = 1e-6,
+                        block: int = 256, maxiter: int = 50, start=None,
+                        mesh: Mesh | None = None, mixed: bool = True,
+                        verbose: bool = False):
+    """MAP fit with the closed-form NLML gradient pipeline distributed
+    over the mesh (make_sharded_mixed_objective): host L-BFGS-B over the
+    unconstrained hyperparameters, reference hyperprior menu.  Returns
+    (hypers dict, log posterior)."""
+    from scipy.optimize import minimize
+
+    mesh = mesh if mesh is not None else data_mesh()
+    rvpack, _, vg = make_sharded_mixed_objective(
+        mesh, X, y, kerns=kerns, ops=ops, noise=noise, truncate=truncate,
+        jitter=jitter, block=block, mixed=mixed)
+    prior_grad = jax.jit(jax.value_and_grad(rvpack.log_prior))
+
+    def fun(z_np):
+        z = jnp.asarray(z_np)
+        logl, g = vg(z)
+        lp, gp_ = prior_grad(z)
+        val = -(float(logl) + float(lp))
+        grad = -(np.asarray(g) + np.asarray(gp_))
+        if not np.isfinite(val) or not np.isfinite(grad).all():
+            val = 1e12
+            grad = np.nan_to_num(grad, nan=0.0, posinf=0.0, neginf=0.0)
+        if verbose:
+            print(f"  nlp={val:.6f}")
+        return val, grad
+
+    z0 = (
+        np.asarray(rvpack.pack_values(start)) if start is not None
+        else np.asarray(rvpack.z0()))
+    res = minimize(fun, z0, jac=True, method="L-BFGS-B",
+                   options={"maxiter": maxiter})
+    vals = rvpack.unpack(jnp.asarray(res.x))
+    hypers = {k: np.asarray(v) for k, v in vals.items()}
+    if "gv" in hypers:
+        hypers["gv"] = hypers["gv"].reshape(())
+    if "alpha" in hypers:
+        hypers["alpha"] = hypers["alpha"].reshape(())
+    return hypers, -float(res.fun)
+
+
 def sharded_map_fit(X, y, kerns=("RBF",), ops=(), noise=True, jitter=1e-6,
                     mesh: Mesh | None = None, max_iter: int = 200,
                     tol: float = 1e-8):

@@ -260,6 +260,57 @@ def _nuts_transition(key, z, U, grad, eps, inv_mass, U_and_grad,
     return z_new, U_new, grad_new, stats
 
 
+def _hmc_transition(key, z, U, grad, eps, inv_mass, U_and_grad, num_steps):
+    """One fixed-length HMC trajectory with uniform trajectory-length
+    jitter (Neal 2011 §4.2) and a Metropolis accept.
+
+    TPU-safe alternative to NUTS: the compiled program is a single
+    bounded fori_loop of leapfrog steps — no nested while_loop, which is
+    the trigger of the GP-objective NUTS runtime fault on this platform
+    (docs/TPU_NOTES.md, benchmarks/nuts_tpu_repro.py).  Trajectory
+    length is drawn uniformly in [1, num_steps] per transition (masked
+    trailing steps), removing the resonance pathologies of a fixed
+    length while keeping the program shape static.
+    """
+    dim = z.shape[0]
+    kr, klen, kacc = jax.random.split(key, 3)
+    mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+    r0 = jax.random.normal(kr, (dim,), z.dtype) * mass_sqrt
+    H0 = U + _kinetic(r0, inv_mass)
+    nsteps = jax.random.randint(klen, (), 1, num_steps + 1)
+
+    def body(i, c):
+        z_c, r_c, U_c, g_c = c
+        z_n, r_n, U_n, g_n = _leapfrog(
+            z_c, r_c, g_c, eps, inv_mass, U_and_grad)
+        take = i < nsteps
+        return (
+            jnp.where(take, z_n, z_c),
+            jnp.where(take, r_n, r_c),
+            jnp.where(take, U_n, U_c),
+            jnp.where(take, g_n, g_c),
+        )
+
+    z1, r1, U1, grad1 = jax.lax.fori_loop(
+        0, num_steps, body, (z, r0, U, grad))
+    H1 = U1 + _kinetic(r1, inv_mass)
+    H1 = jnp.where(jnp.isnan(H1), jnp.inf, H1)
+    diverging = (H1 - H0) > _MAX_DELTA_ENERGY
+    accept_prob = jnp.minimum(1.0, jnp.exp(H0 - H1))
+    accept = (~diverging) & (
+        jax.random.uniform(kacc, (), z.dtype) < accept_prob)
+    z_new = jnp.where(accept, z1, z)
+    U_new = jnp.where(accept, U1, U)
+    grad_new = jnp.where(accept, grad1, grad)
+    stats = {
+        "accept": accept_prob,
+        "diverging": diverging,
+        "depth": nsteps.astype(jnp.int32),
+        "n_leaves": nsteps.astype(jnp.int32),
+    }
+    return z_new, U_new, grad_new, stats
+
+
 def _find_reasonable_eps(key, z, U, grad, inv_mass, U_and_grad):
     """Heuristic initial step size (Hoffman & Gelman Alg. 4)."""
     dim = z.shape[0]
@@ -312,9 +363,9 @@ def _init_chain(key, z_init, logp_fn, dim):
 
 
 @partial(jax.jit, static_argnames=(
-    "logp_fn", "num_warmup", "max_treedepth", "chunk"))
+    "logp_fn", "num_warmup", "max_treedepth", "chunk", "sampler"))
 def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
-               target_accept, max_treedepth, chunk):
+               target_accept, max_treedepth, chunk, sampler="nuts"):
     """Advance one chain by `chunk` transitions (vmapped over chains by
     the caller).  Sampling is chunked into bounded device executions: a
     single multi-minute execution of the full scan crashes this
@@ -335,8 +386,15 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
         in_warmup = step_idx < num_warmup
         eps = jnp.where(
             in_warmup, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
-        z, U, grad, stats = _nuts_transition(
-            key, z, U, grad, eps, inv_mass, U_and_grad, max_treedepth)
+        if sampler == "hmc":
+            # max_treedepth doubles as the trajectory-length budget:
+            # 2**depth leapfrogs, matching the NUTS leaf count
+            z, U, grad, stats = _hmc_transition(
+                key, z, U, grad, eps, inv_mass, U_and_grad,
+                2 ** max_treedepth)
+        else:
+            z, U, grad, stats = _nuts_transition(
+                key, z, U, grad, eps, inv_mass, U_and_grad, max_treedepth)
 
         # dual averaging during warmup
         da_new = _da_update(da, stats["accept"], target_accept)
@@ -381,9 +439,10 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
 
 def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                 num_chains=4, target_accept=0.8, max_treedepth=10,
-                jitter_init=1.0, shard=True, steps_per_call=100):
-    """Run `num_chains` adaptive NUTS chains, vmapped and (optionally)
-    sharded over available devices.
+                jitter_init=1.0, shard=True, steps_per_call=100,
+                sampler="nuts"):
+    """Run `num_chains` adaptive NUTS (or jittered-HMC) chains, vmapped
+    and (optionally) sharded over available devices.
 
     logp_fn: unconstrained log posterior, R^dim -> R.
     z0: (dim,) initial point; chains start at z0 + U(-jitter, jitter)
@@ -391,6 +450,9 @@ def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     Sampling advances in `steps_per_call` chunks (one compiled stepper
     re-invoked from the host) so no single device execution runs long
     enough to trip runtime watchdogs.
+    sampler: 'nuts' (adaptive tree building) or 'hmc' (fixed-budget
+    jittered trajectories, the TPU-safe mode — see _hmc_transition;
+    trajectory budget is 2**max_treedepth leapfrogs).
     Returns dict of stacked arrays with leading (chains, draws).
     """
     dim = int(np.asarray(z0).shape[0])
@@ -421,7 +483,7 @@ def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     run = jax.vmap(
         lambda c, ks, s0: _run_chunk(
             c, ks, s0, logp_fn, num_warmup, target_accept, max_treedepth,
-            chunk),
+            chunk, sampler),
         in_axes=(0, 0, None))
     outs = []
     for ci in range(n_calls):
@@ -592,9 +654,10 @@ class MCMCData:
 
 def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
-                  z0=None, verbose=False) -> "MCMCData":
-    """Run NUTS over an RVPack's unconstrained space and unpack draws into
-    constrained posterior arrays."""
+                  z0=None, verbose=False, sampler="nuts",
+                  steps_per_call=100) -> "MCMCData":
+    """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
+    into constrained posterior arrays."""
 
     def logp(z):
         return -neg_log_post(z)
@@ -604,7 +667,8 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     res = nuts_sample(
         logp, z0, key=jax.random.PRNGKey(random_seed), num_warmup=tune,
         num_samples=draws, num_chains=chains, target_accept=target_accept,
-        max_treedepth=max_treedepth)
+        max_treedepth=max_treedepth, sampler=sampler,
+        steps_per_call=steps_per_call)
     zdraws = np.asarray(res["z"])  # (chains, draws, dim)
     posterior = {}
     for rv, off in zip(rvpack.rvs, rvpack.offsets):
@@ -626,28 +690,42 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
 
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
                  random_seed=0, max_treedepth=10, verbose=False,
-                 mixed=None, **kwargs):
-    """NUTS posterior over a FitConfig's hyperparameters — the engine-level
-    analogue of pm.sample inside __fit (gpmcmc.py:351).
+                 mixed=None, sampler=None, steps_per_call=100, **kwargs):
+    """NUTS/HMC posterior over a FitConfig's hyperparameters — the
+    engine-level analogue of pm.sample inside __fit (gpmcmc.py:351).
 
     mixed: route the NLML through the blocked mixed-precision
     factorisation with closed-form gradients (bigfit.make_mixed_objective)
     — the compact program TPU needs (reverse-differentiated f64
     chol_nlml inlines platform-pathological ops into every leapfrog).
     Default: on for TPU when the model has no learnable warpings.
+
+    sampler: 'nuts' or 'hmc'.  Default: 'hmc' on TPU (the nested-while
+    NUTS transition around a GP objective trips a runtime fault on this
+    platform — docs/TPU_NOTES.md; jittered fixed-budget HMC has the same
+    single-bounded-loop shape as the MAP path, which runs for hours
+    unharmed), 'nuts' elsewhere.
     """
     from ..gp import engine
 
     from .._config import is_tpu
 
-    if is_tpu() and draws + tune > 40:
+    if sampler is None:
+        sampler = "hmc" if is_tpu() else "nuts"
+    if sampler == "hmc" and max_treedepth == 10:
+        # HMC spends its full 2**depth budget every transition (NUTS
+        # stops adaptively); these low-dimensional hyperposteriors mix
+        # well under a 64-step jittered budget
+        max_treedepth = 6
+    if is_tpu() and sampler == "nuts" and draws + tune > 40:
         import warnings
 
         warnings.warn(
             "GP-objective NUTS beyond ~40-60 transitions is known to "
             "crash this TPU platform's worker process (runtime fault; "
             "see docs/TPU_NOTES.md and benchmarks/nuts_tpu_repro.py). "
-            "Run MCMC on the CPU backend, or reduce draws+tune.")
+            "Use sampler='hmc' (the TPU default), run MCMC on the CPU "
+            "backend, or reduce draws+tune.")
     if mixed is None:
         mixed = is_tpu() and not cfg.iwgp and not cfg.cwgp
     if mixed and not cfg.iwgp and not cfg.cwgp:
@@ -676,4 +754,5 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
     return sample_rvpack(
         rvpack, nlp, draws=draws, tune=tune, chains=chains,
         target_accept=target_accept, random_seed=random_seed,
-        max_treedepth=max_treedepth, z0=z0, verbose=verbose)
+        max_treedepth=max_treedepth, z0=z0, verbose=verbose,
+        sampler=sampler, steps_per_call=steps_per_call)

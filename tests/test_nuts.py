@@ -168,6 +168,70 @@ def test_mcmc_to_inference_data_schema():
         assert out["posterior"]["a"].shape == (4, 50)
 
 
+def test_hmc_std_normal():
+    """Jittered fixed-budget HMC (the TPU-safe sampler) recovers a known
+    posterior with the same adaptation machinery as NUTS."""
+    dim = 4
+
+    def logp(z):
+        return -0.5 * jnp.sum(z * z)
+
+    res = nuts.nuts_sample(
+        logp, jnp.zeros(dim), key=jax.random.PRNGKey(1), num_warmup=800,
+        num_samples=800, num_chains=4, sampler="hmc", max_treedepth=5)
+    z = np.asarray(res["z"])
+    assert z.shape == (4, 800, dim)
+    assert abs(z.mean()) < 0.08
+    np.testing.assert_allclose(z.reshape(-1, dim).std(axis=0),
+                               np.ones(dim), atol=0.1)
+    rhat = nuts.split_rhat(z)
+    assert (rhat < 1.05).all(), rhat
+    # trajectory lengths are jittered in [1, 2**depth]
+    depth = np.asarray(res["depth"])
+    assert depth.min() >= 1 and depth.max() <= 32
+    assert len(np.unique(depth)) > 10
+
+
+def test_hmc_ill_scaled_mass_adaptation():
+    scales = jnp.asarray([0.05, 1.0, 5.0])
+
+    def logp(z):
+        return -0.5 * jnp.sum((z / scales) ** 2)
+
+    res = nuts.nuts_sample(
+        logp, jnp.zeros(3), key=jax.random.PRNGKey(2), num_warmup=1000,
+        num_samples=1000, num_chains=4, sampler="hmc", max_treedepth=5)
+    z = np.asarray(res["z"]).reshape(-1, 3)
+    np.testing.assert_allclose(z.std(axis=0), np.asarray(scales), rtol=0.15)
+
+
+def test_hmc_gp_posterior_matches_nuts(rng):
+    """sampler='hmc' through sample_model agrees with NUTS on a GP
+    hyperposterior (the TPU fallback must be a correct sampler, not just
+    a crash-avoider)."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n = 48
+    X = rng.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + 0.2 * X[:, 1] + 0.05 * rng.normal(size=n)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y.reshape(-1, 1))
+    d0 = nuts.sample_model(cfg, draws=200, tune=200, chains=4,
+                           random_seed=0, sampler="nuts")
+    d1 = nuts.sample_model(cfg, draws=200, tune=200, chains=4,
+                           random_seed=0, sampler="hmc")
+    m0 = d0.posterior_mean()
+    m1 = d1.posterior_mean()
+    for k in m0:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m0[k]), rtol=0.35, atol=0.05,
+            err_msg=k)
+
+
 def test_mixed_objective_matches_f64(rng):
     """The mixed-precision NUTS objective (closed-form custom VJP) must
     match the f64 autodiff objective in value and gradient."""

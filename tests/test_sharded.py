@@ -97,6 +97,75 @@ def test_sharded_nlml_jit_and_sharded_inputs(mesh):
     assert np.isfinite(np.asarray(grad)).all()
 
 
+@pytest.mark.parametrize("kernel,noise,n", [
+    ("RBF", True, 96),
+    ("Matern52+RBF", True, 64),
+])
+def test_sharded_closed_form_value_grad(mesh, kernel, noise, n):
+    """The distributed closed-form value-and-grad pipeline (factorise,
+    L^-1 broadcast pipeline, K^-1 reduce-scatter, gradient contraction)
+    must match the single-device bigfit closed form."""
+    from andvaranaut_tpu.gp import bigfit
+
+    kerns, ops = kernels.parse_kernel(kernel)
+    X, y = _toy(n)
+    rvpack, nlp, vg = sharded.make_sharded_mixed_objective(
+        mesh, X, y, kerns=kerns, ops=ops, noise=noise, block=32)
+    z = rvpack.z0() + 0.1
+    val_s, g_s = vg(z)
+    val_b, g_b = bigfit.nlml_value_and_grad(
+        jnp.asarray(X, jnp.float64), jnp.asarray(y, jnp.float64), z,
+        kerns=kerns, ops=ops, noise=noise, block=32)
+    np.testing.assert_allclose(float(val_s), float(val_b), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_b), rtol=5e-6, atol=1e-8)
+    # neg_log_post custom_vjp agrees with (value + prior) and its grad
+    v, g = jax.value_and_grad(nlp)(z)
+    assert float(v) == pytest.approx(
+        -(float(val_b) + float(rvpack.log_prior(z))), rel=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(g),
+        -(np.asarray(g_b)
+          + np.asarray(jax.grad(rvpack.log_prior)(z))),
+        rtol=5e-6, atol=1e-8)
+
+
+def test_sharded_closed_form_padded_n(mesh):
+    """Mesh-indivisible N through the closed-form pipeline: phantom rows
+    must not perturb value or gradient."""
+    from andvaranaut_tpu.gp import bigfit
+
+    X, y = _toy(53)  # 53 % 8 != 0
+    rvpack, _, vg = sharded.make_sharded_mixed_objective(
+        mesh, X, y, block=32)
+    z = rvpack.z0() - 0.15
+    val_s, g_s = vg(z)
+    val_b, g_b = bigfit.nlml_value_and_grad(
+        jnp.asarray(X, jnp.float64), jnp.asarray(y, jnp.float64), z,
+        block=32)
+    np.testing.assert_allclose(float(val_s), float(val_b), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_b), rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_big_map_fit(mesh):
+    """Distributed closed-form MAP fit lands on the single-device
+    big_map_fit optimum."""
+    from andvaranaut_tpu.gp import bigfit
+
+    rng = np.random.default_rng(3)
+    n, nx = 64, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2 + 0.05 * rng.normal(size=n)
+
+    hypers_s, logpost_s = sharded.sharded_big_map_fit(
+        X, y, mesh=mesh, block=32, maxiter=100)
+    hypers_b, logpost_b = bigfit.big_map_fit(
+        X, y, block=32, maxiter=100)
+    assert logpost_s == pytest.approx(logpost_b, rel=1e-4, abs=1e-3)
+    np.testing.assert_allclose(hypers_s["l"], hypers_b["l"], rtol=5e-2)
+
+
 def test_sharded_map_fit_recovers_hypers(mesh):
     """End-to-end distributed MAP fit: must match the single-device engine
     fit on the same data to optimiser tolerance."""
