@@ -233,7 +233,24 @@ class GPMCMC(LHC):
         if method == "map":
             start = kwargs.pop("start", None)
             precision_ = kwargs.pop("precision", "f64")
-            if precision_ == "mixed":
+            if precision_ == "distributed":
+                # multi-chip path: the closed-form gradient pipeline
+                # row-sharded over a device mesh (gp/sharded.py); pass
+                # mesh=... to select devices (default: all)
+                from .gp import sharded
+
+                if iwgp or cwgp:
+                    raise Exception(
+                        "precision='distributed' fitting does not support "
+                        "learnable warpings (iwgp/cwgp); use "
+                        "precision='f64'")
+                xin = _apply_conrevs(self.xconrevs, x, "con")
+                yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
+                mp, _logp = sharded.sharded_big_map_fit(
+                    xin, yin, kerns=tuple(self.kerns), ops=tuple(self.ops),
+                    noise=self.noise, truncate=truncate, jitter=jitter,
+                    start=start, **kwargs)
+            elif precision_ == "mixed":
                 # large-N path: closed-form gradients through the
                 # int8-Ozaki blocked factorisation (gp/bigfit.py); full
                 # kernel algebra supported, learnable warpings stay on

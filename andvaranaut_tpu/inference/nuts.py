@@ -654,10 +654,21 @@ class MCMCData:
 
 def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
-                  z0=None, verbose=False, sampler="nuts",
+                  z0=None, verbose=False, sampler=None,
                   steps_per_call=100) -> "MCMCData":
     """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
-    into constrained posterior arrays."""
+    into constrained posterior arrays.
+
+    sampler=None resolves to 'hmc' on TPU (the nested-while NUTS
+    transition trips a runtime fault there — docs/TPU_NOTES.md; this
+    covers the BO-refinement and inverse-problem posteriors, which carry
+    the same GP-NLML potential), 'nuts' elsewhere."""
+    from .._config import is_tpu
+
+    if sampler is None:
+        sampler = "hmc" if is_tpu() else "nuts"
+        if sampler == "hmc" and max_treedepth == 10:
+            max_treedepth = 6
 
     def logp(z):
         return -neg_log_post(z)

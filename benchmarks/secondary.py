@@ -47,11 +47,13 @@ def bench_predict(n_train=512, n_pred=10000, nx=2):
           f"n_pred={n_pred} (compile {t_compile:.0f}s)")
 
 
-def bench_nuts(n=256, chains=8, draws=500, tune=500):
-    if jax.default_backend() not in ("cpu", "gpu"):
+def bench_nuts(n=256, chains=8, draws=500, tune=500, sampler=None):
+    if sampler != "hmc" and jax.default_backend() not in ("cpu", "gpu"):
         # Documented platform cap (docs/TPU_NOTES.md + nuts_tpu_repro.py):
         # GP-objective NUTS beyond ~60 transitions crashes this TPU
         # runtime's worker; bench the safe single-launch config instead.
+        # (sampler='hmc' — the TPU default in sample_model — has no cap;
+        # use the `hmc` mode of this script.)
         print("TPU backend: GP NUTS capped to the safe config "
               "(see docs/TPU_NOTES.md / benchmarks/nuts_tpu_repro.py)")
         n, chains, draws, tune = 128, 2, 20, 20
@@ -65,11 +67,14 @@ def bench_nuts(n=256, chains=8, draws=500, tune=500):
         yconrevs=[_none_conrev()], x=X, y=y)
     t0 = time.time()
     data = nuts.sample_model(
-        cfg, draws=draws, tune=tune, chains=chains, random_seed=0)
+        cfg, draws=draws, tune=tune, chains=chains, random_seed=0,
+        sampler=sampler,
+        steps_per_call=5 if jax.default_backend() == "tpu" else 100)
     wall = time.time() - t0
     ess = {k: np.min(np.atleast_1d(v)) for k, v in data.ess().items()}
     min_ess = min(ess.values())
-    print(f"nuts: {chains} chains x {draws} draws (+{tune} tune) on "
+    name = sampler or "nuts"
+    print(f"{name}: {chains} chains x {draws} draws (+{tune} tune) on "
           f"n={n} GP posterior: {wall:.1f}s wall (incl compile), "
           f"min ESS {min_ess:.0f} -> {min_ess / wall:.1f} ESS/s; "
           f"divergences {int(np.asarray(data.sample_stats['diverging']).sum())}")
@@ -81,3 +86,11 @@ if __name__ == "__main__":
         bench_predict()
     if which in ("all", "nuts"):
         bench_nuts()
+    if which == "hmc":
+        # the TPU-safe GP MCMC measurement (docs/TPU_NOTES.md)
+        bench_nuts(
+            n=int(os.environ.get("MCMC_N", 256)),
+            chains=int(os.environ.get("MCMC_CHAINS", 8)),
+            draws=int(os.environ.get("MCMC_DRAWS", 300)),
+            tune=int(os.environ.get("MCMC_TUNE", 300)),
+            sampler="hmc")

@@ -149,3 +149,17 @@ def test_fit_precision_mixed(tmp_path, monkeypatch):
 
     with _pytest.raises(Exception, match="learnable warpings"):
         g.fit(method="map", precision="mixed", iwgp=True)
+
+
+def test_fit_precision_distributed(tmp_path, monkeypatch):
+    """fit(precision='distributed') routes through the mesh-sharded
+    closed-form pipeline (gp/sharded.py) and lands on the same MAP as
+    the exact single-device path."""
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=60, seed=2)
+    g.fit(method="map")
+    h0 = {k: np.array(v) for k, v in g.hypers.items()}
+    g.fit(method="map", precision="distributed", block=16)
+    np.testing.assert_allclose(g.hypers["l"], h0["l"], rtol=5e-2)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
