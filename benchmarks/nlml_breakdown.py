@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Stage-by-stage wall breakdown of the headline 16k NLML (bench.py).
+
+Times each stage as its own jitted program (steady-state, post-compile):
+Gram construction, blocked Cholesky (with and without stored inverses),
+the triangular inverse of one diagonal block, the refined solve given the
+factor, and the end-to-end mixed_nlml.  Guides kernel optimisation — see
+docs/TPU_NOTES.md for recorded numbers.
+
+Usage: nohup python benchmarks/nlml_breakdown.py > /tmp/breakdown.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from andvaranaut_tpu.gp import kernels, precision
+
+N = int(os.environ.get("BD_N", 16384))
+BLOCK = int(os.environ.get("BD_BLOCK", 1024))
+REPS = int(os.environ.get("BD_REPS", 3))
+
+
+def _time(tag, f, *args):
+    t0 = time.time()
+    out = f(*args)
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(REPS):
+        out = f(*args)
+        jax.tree_util.tree_map(
+            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+            else a, out)
+    dt = (time.time() - t0) / REPS
+    print(f"{tag:34s} {dt*1000:9.1f} ms   (compile {compile_s:.0f}s)",
+          flush=True)
+    return out
+
+
+def main():
+    print(f"backend={jax.default_backend()} N={N} block={BLOCK}", flush=True)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(N, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0])) + 0.01 * rng.normal(size=N))
+    l = jnp.asarray([0.5, 0.7])
+    kv = jnp.asarray([1.0])
+
+    @jax.jit
+    def gram_only(X):
+        K = kernels.gram(("RBF",), (), X, None, l, kv, None)
+        return K + jnp.eye(N, dtype=X.dtype) * (1e-4 + 1e-6)
+
+    K = _time("gram (exact f64)", gram_only, X)
+
+    chol = jax.jit(lambda K: precision.blocked_cholesky(
+        K, block=BLOCK, return_inv=True))
+    L, Dinv = _time("blocked_cholesky (+inverses)", chol, K)
+
+    Ljj = jax.lax.dynamic_slice(L, (0, 0), (BLOCK, BLOCK))
+    tri = jax.jit(lambda Lb: precision.tri_inv_mixed(Lb, base=128))
+    _time(f"tri_inv_mixed ({BLOCK}) x1", tri, Ljj)
+
+    solve = jax.jit(lambda L, K, y, Dinv: precision.refined_chol_solve(
+        L, K, y, block=BLOCK, Dinv=Dinv))
+    _time("refined_chol_solve (3 passes)", solve, L, K, y, Dinv)
+
+    slicemm = jax.jit(lambda A, B: precision.slice_matmul(A, B))
+    Apan = L[:, :BLOCK]
+    _time(f"slice_matmul ({N}x{BLOCK})@({BLOCK}x{N})", slicemm, Apan, Apan.T)
+
+    nlml = jax.jit(lambda K, y: precision.mixed_nlml(K, y, block=BLOCK))
+    _time("mixed_nlml end-to-end (from K)", nlml, K, y)
+
+    @jax.jit
+    def full(X, y):
+        K = kernels.gram(("RBF",), (), X, None, l, kv, None)
+        K = K + jnp.eye(N, dtype=X.dtype) * (1e-4 + 1e-6)
+        return precision.mixed_nlml(K, y, block=BLOCK)
+
+    _time("bench.py path (gram + nlml)", full, X, y)
+
+
+if __name__ == "__main__":
+    main()
