@@ -28,6 +28,14 @@ import numpy as np
 DEFAULT_NSLICES = 4
 DEFAULT_CHUNK_K = 512
 
+# Diagonal-block triangular-inverse tuning (read at trace time).  The
+# per-factorisation-step inverse is launch-bound: its blocked substitution
+# runs ~6 tiny slice matmuls per sub-block step, so a larger base and
+# fewer refinement passes cut most of its wall (measured on 16k, see
+# docs/TPU_NOTES.md) while the substitution inverses stay f64-exact.
+INV_BASE = 128
+INV_SOLVE_ITERS = 2
+
 
 def _split_slices(A, nslices: int):
     """A (f64/f32) ~= sum of bf16 slices with descending 8-bit mantissa
@@ -221,7 +229,7 @@ def _subst_inv(L):
     return X
 
 
-def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int = 256):
+def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int | None = None):
     """Lower-triangular inverse: substitution for small matrices, blocked
     substitution (via blocked_solve_lower with identity rhs and per-block
     substitution inverses) for larger ones.  Sizes not divisible by the
@@ -236,6 +244,8 @@ def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int = 256):
     kernel-matrix factors, breaking the 1e-6 parity budget, for only a
     3% wall-clock win.  Substitution's linear error growth stays at
     4.8e-7; accuracy wins."""
+    if base is None:
+        base = INV_BASE
     b = L.shape[0]
     if b <= base:
         return _subst_inv(L)
@@ -250,29 +260,46 @@ def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int = 256):
     Dinv = jax.vmap(_subst_inv)(Ldiag)
     eye = jnp.eye(b, dtype=L.dtype)
     return blocked_solve_lower(
-        L, eye, block=base, nslices=nslices, Dinv=Dinv)
+        L, eye, block=base, nslices=nslices, Dinv=Dinv,
+        solve_iters=INV_SOLVE_ITERS)
+
+
+def _mv(M, v):
+    """Exact-f64 matvec as an elementwise broadcast-reduce.
+
+    XLA's emulated-f64 dot_general materialises O(m n) f32 component
+    planes per slice pair (platform pathology), and the int8-Ozaki
+    Pallas path pads single-column rhs to a 256-wide tile (256x wasted
+    MXU work); the fused elementwise form is both exact and the fastest
+    option for vector rhs."""
+    return jnp.sum(M * v[None, :], axis=1)
 
 
 def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
                     nslices: int = DEFAULT_NSLICES, Linv=None):
     """Solve L x = b (or L^T x = b) via an explicit mixed-precision
     triangular inverse plus residual refinement (no XLA trsm; see
-    tri_inv_mixed)."""
+    tri_inv_mixed).  Vector rhs goes through exact-f64 broadcast-reduce
+    matvecs (no refinement needed); matrix rhs through slice_matmul."""
     if Linv is None:
         Linv = tri_inv_mixed(L, nslices=nslices)
+    if b.ndim == 1:
+        A = L.T if trans else L
+        X = Linv.T if trans else Linv
+        x = _mv(X, b)
+        for _ in range(min(iters, 1)):  # Linv is ~4e-11; one pass suffices
+            x = x + _mv(X, b - _mv(A, x))
+        return x
     Lop = (lambda v: slice_matmul(L.T, v, nslices=nslices)) if trans else (
         lambda v: slice_matmul(L, v, nslices=nslices))
     Xop = (lambda v: slice_matmul(Linv.T, v, nslices=nslices)) if trans else (
         lambda v: slice_matmul(Linv, v, nslices=nslices))
-    squeeze = b.ndim == 1
-    bm = b[:, None] if squeeze else b
 
     def body(_, x):
-        r = bm - Lop(x)
+        r = b - Lop(x)
         return x + Xop(r)
 
-    x = jax.lax.fori_loop(0, iters, body, Xop(bm))
-    return x[:, 0] if squeeze else x
+    return jax.lax.fori_loop(0, iters, body, Xop(b))
 
 
 def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
@@ -299,7 +326,7 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
         Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
         Ljj = _chol_f64(Ajj)
         Linv = (
-            tri_inv_mixed(Ljj, nslices=nslices, base=128) if mixed
+            tri_inv_mixed(Ljj, nslices=nslices) if mixed
             else jax.scipy.linalg.solve_triangular(
                 Ljj, jnp.eye(block, dtype=A.dtype), lower=True))
         Dinv = jax.lax.dynamic_update_slice(
@@ -361,7 +388,7 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
         if nbl == 1:
             Ljj = _chol_f64(A)
             Linv = (
-                tri_inv_mixed(Ljj, nslices=nslices, base=128) if mixed
+                tri_inv_mixed(Ljj, nslices=nslices) if mixed
                 else jax.scipy.linalg.solve_triangular(
                     Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
             L = jax.lax.dynamic_update_slice(L, Ljj, (offset, offset))
@@ -386,7 +413,8 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
 
 
 def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
-                        nslices: int = DEFAULT_NSLICES, Dinv=None):
+                        nslices: int = DEFAULT_NSLICES, Dinv=None,
+                        solve_iters: int = 2):
     """Solve L x = b (L lower-triangular) by blocked forward substitution:
     sequential diagonal-block solves (via stored/Newton inverses) + MXU
     off-diagonal products."""
@@ -399,14 +427,17 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
             if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True))
     squeeze = b.ndim == 1
-    if squeeze:
-        b = b[:, None]
-    k = b.shape[1]
+    k = 1 if squeeze else b.shape[1]
     nb = n // block
-    mm = (
-        partial(slice_matmul, nslices=nslices) if mixed
-        else lambda a, c: a @ c
-    )
+    if mixed and squeeze:
+        # vector rhs: exact-f64 broadcast-reduce matvecs (see _mv)
+        def mm(a, c):
+            return _mv(a, c)
+    elif mixed:
+        mm = partial(slice_matmul, nslices=nslices)
+    else:
+        def mm(a, c):
+            return a @ c
 
     def blk_solve(j, Lb, r):
         if not mixed:
@@ -414,7 +445,8 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
         Linv = (
             jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False)
             if Dinv is not None else None)
-        return tri_solve_mixed(Lb, r, nslices=nslices, Linv=Linv)
+        return tri_solve_mixed(Lb, r, nslices=nslices, Linv=Linv,
+                               iters=solve_iters)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
@@ -422,9 +454,13 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
         r, x = carry
         lo = j * block
         Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
-        rblk = jax.lax.dynamic_slice(r, (lo, 0), (block, k))
+        rblk = (
+            jax.lax.dynamic_slice(r, (lo,), (block,)) if squeeze
+            else jax.lax.dynamic_slice(r, (lo, 0), (block, k)))
         xj = blk_solve(j, Lblk, rblk)
-        x = jax.lax.dynamic_update_slice(x, xj, (lo, 0))
+        x = (
+            jax.lax.dynamic_update_slice(x, xj, (lo,)) if squeeze
+            else jax.lax.dynamic_update_slice(x, xj, (lo, 0)))
         Lcol = jnp.where(
             row_idx >= lo + block,
             jax.lax.dynamic_slice(L, (0, lo), (n, block)), 0.0)
@@ -432,7 +468,7 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
         return r, x
 
     _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))
-    return x[:, 0] if squeeze else x
+    return x
 
 
 def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,
@@ -447,14 +483,16 @@ def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,
             if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1))
     squeeze = b.ndim == 1
-    if squeeze:
-        b = b[:, None]
-    k = b.shape[1]
+    k = 1 if squeeze else b.shape[1]
     nb = n // block
-    mm = (
-        partial(slice_matmul, nslices=nslices) if mixed
-        else lambda a, c: a @ c
-    )
+    if mixed and squeeze:
+        def mm(a, c):
+            return _mv(a, c)
+    elif mixed:
+        mm = partial(slice_matmul, nslices=nslices)
+    else:
+        def mm(a, c):
+            return a @ c
 
     def blk_solve_t(j, Lb, r):
         if not mixed:
@@ -472,9 +510,13 @@ def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,
         j = nb - 1 - jj
         lo = j * block
         Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
-        rblk = jax.lax.dynamic_slice(r, (lo, 0), (block, k))
+        rblk = (
+            jax.lax.dynamic_slice(r, (lo,), (block,)) if squeeze
+            else jax.lax.dynamic_slice(r, (lo, 0), (block, k)))
         xj = blk_solve_t(j, Lblk, rblk)
-        x = jax.lax.dynamic_update_slice(x, xj, (lo, 0))
+        x = (
+            jax.lax.dynamic_update_slice(x, xj, (lo,)) if squeeze
+            else jax.lax.dynamic_update_slice(x, xj, (lo, 0)))
         # propagate to rows above: r[:lo] -= L[lo:hi, :lo]^T @ xj; mask rows
         # >= lo of the (transposed) row panel to zero
         Lrow = jnp.where(
@@ -485,7 +527,7 @@ def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,
         return r, x
 
     _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))
-    return x[:, 0] if squeeze else x
+    return x
 
 
 def refined_chol_solve(L, K, y, block: int = 256,

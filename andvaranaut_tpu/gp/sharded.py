@@ -249,7 +249,7 @@ def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
 
         def chol_inv(Akk):
             Lkk = precision.blocked_cholesky(Akk, block=block, mixed=True)
-            return Lkk, precision.tri_inv_mixed(Lkk, base=min(block, 128))
+            return Lkk, precision.tri_inv_mixed(Lkk, base=min(block, precision.INV_BASE))
     else:
         def mm(a, b):
             return a @ b

@@ -81,6 +81,9 @@ def main():
     nlml = jax.jit(lambda K, y: precision.mixed_nlml(K, y, block=BLOCK))
     _time("mixed_nlml end-to-end (from K)", nlml, K, y)
 
+    # free the 2 GB intermediates before compiling the full program
+    del L, Dinv, K, Apan, Ljj
+
     @jax.jit
     def full(X, y):
         K = kernels.gram(("RBF",), (), X, None, l, kv, None)
