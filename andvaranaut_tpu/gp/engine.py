@@ -391,6 +391,43 @@ def predict_from_chol_masked(kerns, ops, xin, valid, L, v, xnew, l, kv, gv,
     return mu, var
 
 
+@partial(jax.jit, static_argnames=("kerns", "ops", "block"))
+def chol_state_masked_mixed(kerns, ops, xin, yin, valid, l, kv, gv, alpha,
+                            jitter, block: int = 1024):
+    """Large-N conditioning state through the mixed-precision blocked
+    factorisation (no XLA cholesky/triangular_solve — emulated-f64
+    cholesky compile-explodes at n >= 8192 on this TPU platform and trsm
+    at any size, docs/TPU_NOTES.md).  Data must be padded to a multiple
+    of `block` (GPState buckets at the block size on this path)."""
+    from . import precision
+
+    K = kernels.gram(kerns, ops, xin, None, l, kv, alpha)
+    vv = valid.astype(K.dtype)
+    K = K * (vv[:, None] * vv[None, :])
+    K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
+    L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True)
+    v = precision.blocked_solve_lower(L, yin, block=block, Dinv=Dinv)
+    return L, v, Dinv
+
+
+@partial(jax.jit, static_argnames=("kerns", "ops"))
+def predict_from_chol_masked_mixed(kerns, ops, xin, valid, L, v, Dinv,
+                                   xnew, l, kv, gv, alpha):
+    """Predictive mean/var from the mixed conditioning state: the
+    whitened cross-covariance solve runs through the blocked substitution
+    (slice matmuls), the contractions as fused f64 broadcast-reduces
+    (f64 dot_general is a platform pathology)."""
+    from . import precision
+
+    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+    Kxs = Kxs * valid.astype(Kxs.dtype)[:, None]
+    A = precision.blocked_solve_lower(L, Kxs, Dinv=Dinv)
+    mu = jnp.sum(A * v[:, None], axis=0)
+    kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
+    var = jnp.maximum(kss - jnp.sum(A * A, axis=0), 0.0) + gv
+    return mu, var
+
+
 @partial(jax.jit, static_argnames=("kerns", "ops"))
 def chol_state(kerns, ops, xin, yin, l, kv, gv, alpha, jitter):
     """One-time conditioning state: Cholesky of the noisy train Gram and

@@ -424,12 +424,15 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
                         solve_iters: int = 2):
     """Solve L x = b (L lower-triangular) by blocked forward substitution:
     sequential diagonal-block solves (via stored/Newton inverses) + MXU
-    off-diagonal products."""
+    off-diagonal products.  When Dinv is given, the step grain is its
+    stored grain (Dinv.shape[1]), overriding `block`."""
+    if Dinv is not None:
+        block = Dinv.shape[1]
     n = L.shape[0]
     if n <= block or n % block != 0:
         return (
             tri_solve_mixed(
-                L, b, nslices=nslices,
+                L, b, nslices=nslices, iters=solve_iters,
                 Linv=(Dinv[0] if Dinv is not None and n <= block else None))
             if mixed
             else jax.scipy.linalg.solve_triangular(L, b, lower=True))
@@ -480,7 +483,10 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
 
 def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,
                         nslices: int = DEFAULT_NSLICES, Dinv=None):
-    """Solve L^T x = b by blocked backward substitution (L lower-tri)."""
+    """Solve L^T x = b by blocked backward substitution (L lower-tri).
+    When Dinv is given, the step grain is its stored grain."""
+    if Dinv is not None:
+        block = Dinv.shape[1]
     n = L.shape[0]
     if n <= block or n % block != 0:
         return (

@@ -31,9 +31,17 @@ class GPState:
 
     Data is bucket-padded with phantom identity rows so the compiled
     conditioning/prediction programs are reused as the dataset grows
-    (per-shape TPU compiles cost minutes; SURVEY.md §7 hard part 5)."""
+    (per-shape TPU compiles cost minutes; SURVEY.md §7 hard part 5).
+
+    Above MIXED_N training rows on TPU, conditioning and prediction route
+    through the mixed-precision blocked factorisation (emulated-f64
+    cholesky compile-explodes at n >= 8192 and XLA trsm at any size,
+    docs/TPU_NOTES.md) — predictions after a precision='mixed' 16k fit
+    run on-chip instead of failing to compile."""
 
     BUCKET = 32
+    MIXED_N = 4096
+    MIXED_BLOCK = 1024
 
     def __init__(self, kerns, ops, noise, jitter, xin, yin, hypers):
         self.kerns = tuple(kerns)
@@ -50,34 +58,56 @@ class GPState:
         d["_cache"] = {}
         return d
 
+    def _mixed(self):
+        from ._config import is_tpu
+
+        return is_tpu() and self.xin.shape[0] >= self.MIXED_N
+
+    def _bucket(self):
+        return self.MIXED_BLOCK if self._mixed() else self.BUCKET
+
     def padded(self):
-        return engine.pad_data(self.xin, self.yin, self.BUCKET)
+        return engine.pad_data(self.xin, self.yin, self._bucket())
 
     def hyper_args(self):
         return engine.hypers_to_args(self.hypers, self.noise)
 
     def chol(self, jitter=None):
-        """Cached conditioning state (L, v) over padded data."""
+        """Cached conditioning state over padded data: (L, v, xin_p,
+        valid) on the exact path, plus the diagonal-block inverses on the
+        mixed path."""
         j = self.jitter if jitter is None else jitter
         if j not in self._cache:
             l, kv, gv, alpha = self.hyper_args()
             xin_p, yin_p, valid = self.padded()
-            L, v = engine.chol_state_masked(
-                self.kerns, self.ops, xin_p, yin_p, valid, l, kv, gv,
-                alpha, j)
-            self._cache[j] = (L, v, xin_p, valid)
+            if self._mixed():
+                L, v, Dinv = engine.chol_state_masked_mixed(
+                    self.kerns, self.ops, xin_p, yin_p, valid, l, kv, gv,
+                    alpha, j, block=self.MIXED_BLOCK)
+                self._cache[j] = (L, v, xin_p, valid, Dinv)
+            else:
+                L, v = engine.chol_state_masked(
+                    self.kerns, self.ops, xin_p, yin_p, valid, l, kv, gv,
+                    alpha, j)
+                self._cache[j] = (L, v, xin_p, valid, None)
         return self._cache[j]
 
     def predict(self, xnew, jitter=None):
         l, kv, gv, alpha = self.hyper_args()
-        L, v, xin_p, valid = self.chol(jitter)
+        L, v, xin_p, valid, Dinv = self.chol(jitter)
         m = xnew.shape[0]
         mpad = engine.round_up(max(m, 1), self.BUCKET)
         xq = jnp.asarray(xnew)
         if mpad != m:
             xq = jnp.pad(xq, ((0, mpad - m), (0, 0)))
-        mu, var = engine.predict_from_chol_masked(
-            self.kerns, self.ops, xin_p, valid, L, v, xq, l, kv, gv, alpha)
+        if Dinv is not None:
+            mu, var = engine.predict_from_chol_masked_mixed(
+                self.kerns, self.ops, xin_p, valid, L, v, Dinv, xq,
+                l, kv, gv, alpha)
+        else:
+            mu, var = engine.predict_from_chol_masked(
+                self.kerns, self.ops, xin_p, valid, L, v, xq, l, kv, gv,
+                alpha)
         return np.asarray(mu[:m]), np.asarray(var[:m])
 
 

@@ -184,3 +184,54 @@ def test_gh_stats_ei():
     yopt = 2.0
     ei, _ = quad.gh_stats(t.rev, mu, var, EI=True, EIopt="min", yopt=yopt)
     np.testing.assert_allclose(np.asarray(ei), [1.0, 0.0], atol=1e-9)
+
+
+def test_mixed_conditioning_predict_parity(rng):
+    """The large-N mixed conditioning/prediction path (blocked
+    factorisation, no XLA cholesky/trsm — what GPState uses on TPU above
+    MIXED_N) must match the exact masked path."""
+    import jax.numpy as jnp
+
+    n, m, nx = 96, 17, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.2 * X[:, 1]
+    Xq = rng.uniform(size=(m, nx))
+    l = jnp.asarray([0.4, 0.7])
+    kv = jnp.asarray([1.3])
+    gv = jnp.asarray(1e-3)
+    xin_p, yin_p, valid = engine.pad_data(X, y, 32)
+    L0, v0 = engine.chol_state_masked(
+        ("RBF",), (), xin_p, yin_p, valid, l, kv, gv, None, 1e-6)
+    mu0, var0 = engine.predict_from_chol_masked(
+        ("RBF",), (), xin_p, valid, L0, v0, jnp.asarray(Xq), l, kv, gv,
+        None)
+    L1, v1, Dinv = engine.chol_state_masked_mixed(
+        ("RBF",), (), xin_p, yin_p, valid, l, kv, gv, None, 1e-6, block=32)
+    mu1, var1 = engine.predict_from_chol_masked_mixed(
+        ("RBF",), (), xin_p, valid, L1, v1, Dinv, jnp.asarray(Xq), l, kv,
+        gv, None)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var0),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_gpstate_mixed_dispatch(rng, monkeypatch):
+    """GPState routes through the mixed path when _mixed() is true and
+    produces the same predictions as the exact path."""
+    from andvaranaut_tpu import gpmcmc as gpm
+
+    n, nx = 64, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.2 * X[:, 1]
+    hypers = {"l": np.array([0.4, 0.7]), "kv": np.array([1.3]),
+              "gv": np.array(1e-3)}
+    st = gpm.GPState(("RBF",), (), True, 1e-6, X, y, hypers)
+    Xq = rng.uniform(size=(9, nx))
+    mu0, var0 = st.predict(Xq)
+    st2 = gpm.GPState(("RBF",), (), True, 1e-6, X, y, hypers)
+    monkeypatch.setattr(gpm.GPState, "_mixed", lambda self: True)
+    monkeypatch.setattr(gpm.GPState, "MIXED_BLOCK", 32)
+    mu1, var1 = st2.predict(Xq)
+    np.testing.assert_allclose(mu1, mu0, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var1, var0, rtol=1e-6, atol=1e-10)
