@@ -406,23 +406,30 @@ def chol_state_masked_mixed(kerns, ops, xin, yin, valid, l, kv, gv, alpha,
     K = K * (vv[:, None] * vv[None, :])
     K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
     L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True)
-    v = precision.blocked_solve_lower(L, yin, block=block, Dinv=Dinv)
-    return L, v, Dinv
+    # alpha = K^-1 y by factorisation-preconditioned CG (plain refinement
+    # stalls at the factorisation-residual floor, ~5e-5 relative at 16k):
+    # predictive MEANS contract the exact cross-Gram against it, avoiding
+    # the ill-conditioning amplification of a slice-arithmetic whitened
+    # solve (measured 4e-4 / 2e-4 mean error via those routes at 16k)
+    av = precision.pcg_solve(K, yin, L, Dinv=Dinv, block=block)
+    return L, av, Dinv
 
 
 @partial(jax.jit, static_argnames=("kerns", "ops"))
-def predict_from_chol_masked_mixed(kerns, ops, xin, valid, L, v, Dinv,
+def predict_from_chol_masked_mixed(kerns, ops, xin, valid, L, av, Dinv,
                                    xnew, l, kv, gv, alpha):
-    """Predictive mean/var from the mixed conditioning state: the
-    whitened cross-covariance solve runs through the blocked substitution
-    (slice matmuls), the contractions as fused f64 broadcast-reduces
-    (f64 dot_general is a platform pathology)."""
+    """Predictive mean/var from the mixed conditioning state.  Means
+    contract the exact f64 cross-Gram against the refined alpha = K^-1 y
+    (f64-grade); the variance's whitened solve runs through the blocked
+    substitution (slice matmuls — its error is far below the clamped,
+    noise-floored variance).  All contractions are fused f64
+    broadcast-reduces (f64 dot_general is a platform pathology)."""
     from . import precision
 
     Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
     Kxs = Kxs * valid.astype(Kxs.dtype)[:, None]
+    mu = jnp.sum(Kxs * av[:, None], axis=0)
     A = precision.blocked_solve_lower(L, Kxs, Dinv=Dinv)
-    mu = jnp.sum(A * v[:, None], axis=0)
     kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
     var = jnp.maximum(kss - jnp.sum(A * A, axis=0), 0.0) + gv
     return mu, var

@@ -568,6 +568,52 @@ def refined_chol_solve(L, K, y, block: int = 256,
     return jax.lax.fori_loop(0, iters + 1, body, jnp.zeros_like(y))
 
 
+def pcg_solve(K, b, L, Dinv=None, block: int = 256,
+              nslices: int = DEFAULT_NSLICES, iters: int = 12):
+    """Solve K x = b by preconditioned conjugate gradients with the mixed
+    blocked factorisation as preconditioner.
+
+    Plain iterative refinement x <- x + S(b - Kx) stalls once the
+    factorisation residual E = K - LL^T is comparable to the noise floor
+    (measured: |r|/|b| floors at ~5e-5 at 16k with gv=2e-4 — no
+    contraction in the small-eigenvalue subspace).  PCG only needs
+    S^-1 K well-conditioned, which it is (~1 + |K^-1 E|), so a dozen
+    iterations reach f64 grade: each costs one exact-f64 elementwise
+    matvec (O(N^2), fused) plus one preconditioner solve (exact-f64
+    vector path through the stored block inverses)."""
+
+    def S(r):
+        z = blocked_solve_lower(L, r, block=block, nslices=nslices,
+                                Dinv=Dinv)
+        return blocked_solve_upper(L, z, block=block, nslices=nslices,
+                                   Dinv=Dinv)
+
+    def Kmv(x):
+        # f64 elementwise broadcast-reduce (emulated-f64 dot_general is a
+        # platform pathology)
+        return jnp.sum(K * x[None, :], axis=1)
+
+    x0 = jnp.zeros_like(b)
+    z0 = S(b)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Kp = Kmv(p)
+        denom = jnp.dot(p, Kp)
+        a = jnp.where(denom > 0.0, rz / denom, 0.0)
+        x = x + a * p
+        r = r - a * Kp
+        z = S(r)
+        rz_new = jnp.dot(r, z)
+        beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (x0, b, z0, jnp.dot(b, z0)))
+    return x
+
+
 def mixed_nlml(K, y, block: int = 256, nslices: int = DEFAULT_NSLICES,
                refine_iters: int = 2):
     """Gaussian log marginal likelihood via the mixed-precision blocked
