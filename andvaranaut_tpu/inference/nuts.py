@@ -749,15 +749,15 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         for i in range(nx):
             xin[:, i] = _np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
         yin = _np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
-        # factorisation block: larger blocks win once the trailing
-        # updates dominate (bench: 512 ~2x faster than 256 at n=2048,
-        # 1024 best at 16k); small n stays fine-grained
-        blk = (
-            min(1024, n // 4) if n >= 2048
-            else min(256, max(32, n // 2)))
+        # factorisation block: 256-capped measured best for the full
+        # value+grad objective (block=512 at n=2048 was 18% SLOWER
+        # end-to-end despite the bare NLML preferring larger blocks —
+        # the gradient pipeline's inverse/contraction stages scale
+        # differently; docs/TPU_NOTES.md)
         rvpack, nlp = bigfit.make_mixed_objective(
             xin, yin, kerns=cfg.kerns, ops=cfg.ops, noise=cfg.noise,
-            truncate=cfg.truncate, jitter=cfg.jitter, block=blk)
+            truncate=cfg.truncate, jitter=cfg.jitter,
+            block=min(256, max(32, n // 2)))
     else:
         rvpack, nlp = engine.build_objective(cfg)
     z0 = rvpack.z0()
