@@ -176,6 +176,125 @@ def _mv(M, v):
     return jnp.sum(M * v[None, :], axis=1)
 
 
+def _dist_factor(A, r, d, D: int, axis: str, mm, chol_inv):
+    """SPMD block-row right-looking Cholesky with fused forward
+    substitution (the shared core of the distributed objective and the
+    distributed predict).
+
+    A: (m, n) local row block of the SPD matrix, r: (m,) local rhs block,
+    d: this device's mesh index.  Diagonal blocks are psum-broadcast and
+    factorised redundantly on every device (they would otherwise idle);
+    panel solves go through the explicit diagonal-block inverses from
+    `chol_inv`; panel columns are all-gathered for the trailing update.
+
+    Returns (L_loc, Linvs, beta, quad, logdet): the local (m, n) row block
+    of L, the (D, m, m) stack of diagonal-block inverses (replicated),
+    beta = L^-1 r, the quadratic form |beta|^2 and the half
+    log-determinant — the last three replicated."""
+    m, n = A.shape
+    L_loc = jnp.zeros((m, n), A.dtype)
+    Linvs = jnp.zeros((D, m, m), A.dtype)
+    beta = jnp.zeros((n,), A.dtype)
+    quad = jnp.zeros((), A.dtype)
+    logdet = jnp.zeros((), A.dtype)
+    for k in range(D):
+        lo = k * m
+        blk = A[:, lo:lo + m]
+        Akk = jax.lax.psum(jnp.where(d == k, blk, 0.0), axis)
+        Lkk, Linv_kk = chol_inv(Akk)
+        Pd = mm(blk, Linv_kk.T)
+        Ldk = jnp.where(d == k, Lkk, jnp.where(d > k, Pd, 0.0))
+        rk = jax.lax.psum(jnp.where(d == k, r, 0.0), axis)
+        bk = _mv(Linv_kk, rk)
+        r = r - _mv(Ldk, bk)
+        quad = quad + jnp.dot(bk, bk)
+        logdet = logdet + jnp.sum(jnp.log(jnp.diag(Lkk)))
+        L_loc = L_loc.at[:, lo:lo + m].set(Ldk)
+        Linvs = Linvs.at[k].set(Linv_kk)
+        beta = beta.at[lo:lo + m].set(bk)
+        if k + 1 < D:
+            panel = jax.lax.all_gather(Ldk, axis, tiled=True)
+            A = A.at[:, lo + m:].add(-mm(Ldk, panel[lo + m:, :].T))
+    return L_loc, Linvs, beta, quad, logdet
+
+
+def _dist_solve_upper_vec(L_loc, Linvs, w, d, D: int, axis: str):
+    """Solve L^T x = w over the mesh (w, x replicated (n,) vectors): per
+    step one m-vector psum assembles the cross-device contribution."""
+    m, n = L_loc.shape
+    out = jnp.zeros((n,), L_loc.dtype)
+    for k in range(D - 1, -1, -1):
+        lo = k * m
+        a_d = jax.lax.dynamic_slice(out, (d * m,), (m,))
+        contrib = jnp.where(
+            d > k, _mv(L_loc[:, lo:lo + m].T, a_d), 0.0)
+        s = jax.lax.psum(contrib, axis)
+        ak = _mv(Linvs[k].T, w[lo:lo + m] - s)
+        out = out.at[lo:lo + m].set(ak)
+    return out
+
+
+def _dist_solve_lower_vec(L_loc, Linvs, rhs, d, D: int, axis: str):
+    """Solve L w = rhs over the mesh (rhs, w replicated (n,) vectors)."""
+    m, n = L_loc.shape
+    w = jnp.zeros((n,), L_loc.dtype)
+    r_loc = jax.lax.dynamic_slice(rhs, (d * m,), (m,))
+    for k in range(D):
+        lo = k * m
+        rk = jax.lax.psum(jnp.where(d == k, r_loc, 0.0), axis)
+        wk = _mv(Linvs[k], rk)
+        r_loc = r_loc - _mv(L_loc[:, lo:lo + m], wk)
+        w = w.at[lo:lo + m].set(wk)
+    return w
+
+
+def _dist_solve_lower_ssq(L_loc, Linvs, R_loc, d, D: int, axis: str, mm):
+    """Forward-substitute L A = R over the mesh for a matrix rhs given as
+    local (m, q) row blocks, returning the column sums of squares of A
+    (replicated (q,)) — the whitened-solve reduction the predictive
+    variance needs.  A itself is never materialised beyond one (m, q)
+    block."""
+    m = L_loc.shape[0]
+    q = R_loc.shape[1]
+    ssq = jnp.zeros((q,), L_loc.dtype)
+    r = R_loc
+    for k in range(D):
+        lo = k * m
+        rk = jax.lax.psum(jnp.where(d == k, r, 0.0), axis)
+        xk = mm(Linvs[k], rk)
+        r = r - mm(L_loc[:, lo:lo + m], xk)
+        ssq = ssq + jnp.sum(xk * xk, axis=0)
+    return ssq
+
+
+def _mixed_ops(block: int):
+    """(mm, chol_inv) pair for the mixed slice-arithmetic path (TPU-clean:
+    no XLA triangular_solve, no f64 dot_general) — shared by the
+    distributed objective and the distributed predict."""
+    from . import precision
+
+    def chol_inv(Akk):
+        Lkk = precision.blocked_cholesky(Akk, block=block, mixed=True)
+        return Lkk, precision.tri_inv_mixed(
+            Lkk, base=min(block, precision.INV_BASE))
+
+    return precision.slice_matmul, chol_inv
+
+
+def _exact_ops():
+    """(mm, chol_inv) for the exact-f64 path (CPU test meshes)."""
+
+    def mm(a, b):
+        return a @ b
+
+    def chol_inv(Akk):
+        Lkk = jnp.linalg.cholesky(Akk)
+        return Lkk, jax.scipy.linalg.solve_triangular(
+            Lkk, jnp.eye(Lkk.shape[0], dtype=Lkk.dtype), lower=True)
+
+    return mm, chol_inv
+
+
 def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
                                  noise: bool = True, truncate: bool = False,
                                  jitter: float = 1e-6, block: int = 256,
@@ -244,20 +363,7 @@ def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
         gb //= 2
     nblocks = n // gb
 
-    if mixed:
-        mm = precision.slice_matmul
-
-        def chol_inv(Akk):
-            Lkk = precision.blocked_cholesky(Akk, block=block, mixed=True)
-            return Lkk, precision.tri_inv_mixed(Lkk, base=min(block, precision.INV_BASE))
-    else:
-        def mm(a, b):
-            return a @ b
-
-        def chol_inv(Akk):
-            Lkk = jnp.linalg.cholesky(Akk)
-            return Lkk, jax.scipy.linalg.solve_triangular(
-                Lkk, jnp.eye(Lkk.shape[0], dtype=Lkk.dtype), lower=True)
+    mm, chol_inv = _mixed_ops(block) if mixed else _exact_ops()
 
     def _gram_rows(z, X_loc, X_cols, grow, gcol):
         """Local Gram rows of K(z) against column inputs X_cols, with the
@@ -282,52 +388,21 @@ def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
         y_loc = jnp.where(grow < n0, y_loc, 0.0)
 
         # -- stage 2: distributed factorisation + fused forward subst.
-        A = K_loc
-        r = y_loc
-        L_loc = jnp.zeros((m, n), A.dtype)
-        Linvs = jnp.zeros((D, m, m), A.dtype)
-        beta = jnp.zeros((n,), A.dtype)
-        quad = jnp.zeros((), A.dtype)
-        logdet = jnp.zeros((), A.dtype)
-        for k in range(D):
-            lo = k * m
-            blk = A[:, lo:lo + m]
-            Akk = jax.lax.psum(jnp.where(d == k, blk, 0.0), axis)
-            Lkk, Linv_kk = chol_inv(Akk)
-            Pd = mm(blk, Linv_kk.T)
-            Ldk = jnp.where(d == k, Lkk, jnp.where(d > k, Pd, 0.0))
-            rk = jax.lax.psum(jnp.where(d == k, r, 0.0), axis)
-            bk = _mv(Linv_kk, rk)
-            r = r - _mv(Ldk, bk)
-            quad = quad + jnp.dot(bk, bk)
-            logdet = logdet + jnp.sum(jnp.log(jnp.diag(Lkk)))
-            L_loc = L_loc.at[:, lo:lo + m].set(Ldk)
-            Linvs = Linvs.at[k].set(Linv_kk)
-            beta = beta.at[lo:lo + m].set(bk)
-            if k + 1 < D:
-                panel = jax.lax.all_gather(Ldk, axis, tiled=True)
-                A = A.at[:, lo + m:].add(-mm(Ldk, panel[lo + m:, :].T))
+        L_loc, Linvs, beta, quad, logdet = _dist_factor(
+            K_loc, y_loc, d, D, axis, mm, chol_inv)
         logl = -0.5 * quad - logdet - 0.5 * n0 * _LOG_2PI
 
         # -- stage 3: alpha = K^-1 y = L^-T beta (replicated)
-        alpha_vec = jnp.zeros((n,), A.dtype)
-        for k in range(D - 1, -1, -1):
-            lo = k * m
-            a_d = jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,))
-            contrib = jnp.where(
-                d > k, _mv(L_loc[:, lo:lo + m].T, a_d), 0.0)
-            s = jax.lax.psum(contrib, axis)
-            ak = _mv(Linvs[k].T, beta[lo:lo + m] - s)
-            alpha_vec = alpha_vec.at[lo:lo + m].set(ak)
+        alpha_vec = _dist_solve_upper_vec(L_loc, Linvs, beta, d, D, axis)
 
         # -- stage 4: B_loc = local row block of L^-1 (broadcast pipeline)
-        S = jnp.zeros((m, n), A.dtype)
-        B_loc = jnp.zeros((m, n), A.dtype)
+        S = jnp.zeros((m, n), K_loc.dtype)
+        B_loc = jnp.zeros((m, n), K_loc.dtype)
         col = jnp.arange(n)
         for k in range(D):
             lo = k * m
             Ek = (col[None, :] == (lo + jnp.arange(m))[:, None]).astype(
-                A.dtype)
+                K_loc.dtype)
             Sk = jax.lax.psum(jnp.where(d == k, S, 0.0), axis)
             Bk = mm(Linvs[k], Ek - Sk)  # redundant, but all devices idle
             B_loc = jnp.where(d == k, Bk, B_loc)
@@ -445,6 +520,136 @@ def sharded_big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
     if "alpha" in hypers:
         hypers["alpha"] = hypers["alpha"].reshape(())
     return hypers, -float(res.fun)
+
+
+def make_sharded_predict(mesh: Mesh, X, y, hypers, kerns=("RBF",), ops=(),
+                         noise: bool = True, jitter: float = 1e-6,
+                         block: int = 256, mixed: bool = True,
+                         pcg_iters: int = 12, qbucket: int = 256,
+                         axis: str = "data"):
+    """Distributed GP prediction: conditioning state AND per-query
+    cross-Gram solves sharded over the mesh — no device ever materialises
+    an N x N matrix or an (N, Q) cross-Gram.
+
+    State (computed once, kept sharded on the mesh): block-row distributed
+    Cholesky (`_dist_factor`), then alpha = K^-1 y refined by distributed
+    PCG with the factorisation as preconditioner (plain substitution
+    stalls at the factorisation-residual floor on the mixed path — same
+    finding as the single-chip large-N predict, docs/TPU_NOTES.md).
+
+    Per query batch: each device contracts its local cross-Gram row block
+    against its alpha rows (one q-vector psum for the mean) and the
+    whitened variance solve runs as a distributed forward substitution
+    (one (m, q) psum per block step).
+
+    mixed=True keeps every O(N^3/D) product on the int8-Ozaki MXU path
+    (TPU-clean); mixed=False is the exact-f64 path for CPU test meshes.
+
+    Returns predict(Xq) -> (mu, var) numpy arrays of length len(Xq).
+    Reference anchor: gp.predict / pm.gp.Marginal conditioning (ref
+    gpmcmc.py:588-598) — single-host BLAS there; this is the multi-chip
+    analogue completing the sharded fit story (sharded_big_map_fit).
+    """
+    from . import engine
+
+    D = mesh.shape[axis]
+    X = jnp.asarray(X, jnp.float64)
+    y1 = jnp.asarray(y, jnp.float64).reshape(-1)
+    kerns = tuple(kerns)
+    ops = tuple(ops)
+    nx = X.shape[1]
+    n0 = X.shape[0]
+    npad = -(-n0 // D) * D
+    m = npad // D
+    n = npad
+    Xp = jnp.pad(X, ((0, npad - n0), (0, 0)))
+    yp = jnp.pad(y1, (0, npad - n0))
+    l, kv, gv, alq = engine.hypers_to_args(hypers, noise)
+    mm, chol_inv = _mixed_ops(block) if mixed else _exact_ops()
+
+    def _spmd_state(X_loc, y_loc):
+        d = jax.lax.axis_index(axis)
+        X_full = jax.lax.all_gather(X_loc, axis, tiled=True)
+        grow = d * m + jnp.arange(m)
+        gcol = jnp.arange(n)
+        K = kernels.gram(kerns, ops, X_loc, X_full, l, kv, alq)
+        real = (grow < n0)[:, None] & (gcol < n0)[None, :]
+        K = jnp.where(real, K, 0.0)
+        diag = (grow[:, None] == gcol[None, :]).astype(K.dtype)
+        K_loc = K + diag * jnp.where(
+            (grow < n0)[:, None], jitter + gv, 1.0)
+        y_loc = jnp.where(grow < n0, y_loc, 0.0)
+
+        L_loc, Linvs, beta, _, _ = _dist_factor(
+            K_loc, y_loc, d, D, axis, mm, chol_inv)
+
+        # alpha = K^-1 y by distributed PCG (factorisation preconditioner)
+        b = jax.lax.all_gather(y_loc, axis, tiled=True)
+
+        def S(r):
+            w = _dist_solve_lower_vec(L_loc, Linvs, r, d, D, axis)
+            return _dist_solve_upper_vec(L_loc, Linvs, w, d, D, axis)
+
+        def Kmv(v):
+            Kv_loc = jnp.sum(K_loc * v[None, :], axis=1)
+            return jax.lax.all_gather(Kv_loc, axis, tiled=True)
+
+        z0 = S(b)
+
+        def body(_, carry):
+            x, r, p, rz = carry
+            Kp = Kmv(p)
+            denom = jnp.dot(p, Kp)
+            a = jnp.where(denom > 0.0, rz / denom, 0.0)
+            x = x + a * p
+            r = r - a * Kp
+            zv = S(r)
+            rz_new = jnp.dot(r, zv)
+            bcoef = jnp.where(rz > 0.0, rz_new / rz, 0.0)
+            p = zv + bcoef * p
+            return x, r, p, rz_new
+
+        alpha_vec, _, _, _ = jax.lax.fori_loop(
+            0, pcg_iters, body, (jnp.zeros_like(b), b, z0,
+                                 jnp.dot(b, z0)))
+        return L_loc, Linvs, alpha_vec
+
+    spmd_state = jax.jit(jax.shard_map(
+        _spmd_state, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(), P()), check_vma=False))
+
+    Xs = jax.device_put(Xp, NamedSharding(mesh, P(axis, None)))
+    ys = jax.device_put(yp, NamedSharding(mesh, P(axis)))
+    L_g, Linvs_g, alpha_g = spmd_state(Xs, ys)
+
+    def _spmd_apply(L_loc, Linvs, alpha_vec, X_loc, Xq):
+        d = jax.lax.axis_index(axis)
+        grow = d * m + jnp.arange(m)
+        Kxs = kernels.gram(kerns, ops, X_loc, Xq, l, kv, alq)
+        Kxs = jnp.where((grow < n0)[:, None], Kxs, 0.0)
+        a_loc = jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,))
+        mu = jax.lax.psum(jnp.sum(Kxs * a_loc[:, None], axis=0), axis)
+        ssq = _dist_solve_lower_ssq(L_loc, Linvs, Kxs, d, D, axis, mm)
+        kss = kernels.gram(kerns, ops, Xq, None, l, kv, alq, diag=True)
+        var = jnp.maximum(kss - ssq, 0.0) + gv
+        return mu, var
+
+    spmd_apply = jax.jit(jax.shard_map(
+        _spmd_apply, mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(axis, None), P()),
+        out_specs=(P(), P()), check_vma=False))
+
+    def predict(Xq):
+        Xq = np.asarray(Xq, dtype=float)
+        q = Xq.shape[0]
+        qp = -(-max(q, 1) // qbucket) * qbucket
+        Xqp = np.zeros((qp, nx))
+        Xqp[:q] = Xq
+        mu, var = spmd_apply(L_g, Linvs_g, alpha_g, Xs, jnp.asarray(Xqp))
+        return np.asarray(mu)[:q], np.asarray(var)[:q]
+
+    return predict
 
 
 def sharded_map_fit(X, y, kerns=("RBF",), ops=(), noise=True, jitter=1e-6,

@@ -166,6 +166,37 @@ def test_sharded_big_map_fit(mesh):
     np.testing.assert_allclose(hypers_s["l"], hypers_b["l"], rtol=5e-2)
 
 
+@pytest.mark.parametrize("mixed,n,kernel", [
+    (False, 96, "RBF"),
+    (True, 96, "RBF"),
+    (True, 53, "RBF"),          # mesh-indivisible N
+    (True, 64, "Matern52+RBF"),
+])
+def test_sharded_predict_matches_dense(mesh, mixed, n, kernel):
+    """Distributed prediction (sharded conditioning state + distributed
+    cross-Gram solves) must match the single-device dense predict."""
+    kerns, ops = kernels.parse_kernel(kernel)
+    X, y = _toy(n)
+    nkern = len(kerns)
+    hypers = {"l": np.tile([0.4, 0.7], nkern), "kv": np.full(nkern, 1.3),
+              "gv": np.array(1e-3)}
+    predict = sharded.make_sharded_predict(
+        mesh, np.asarray(X), np.asarray(y), hypers, kerns=kerns, ops=ops,
+        block=32, mixed=mixed, qbucket=16)
+    rng = np.random.default_rng(5)
+    Xq = rng.uniform(size=(23, 2))
+    mu, var = predict(Xq)
+    l, kv, gv, al = engine.hypers_to_args(hypers, True)
+    mu0, var0 = engine.predict_diag(
+        kerns, ops, jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xq), l, kv,
+        gv, al, 1e-6)
+    mtol = 1e-8 if not mixed else 1e-7
+    vtol = 1e-8 if not mixed else 1e-4
+    np.testing.assert_allclose(mu, np.asarray(mu0), rtol=mtol, atol=1e-10)
+    np.testing.assert_allclose(var, np.asarray(var0), rtol=vtol,
+                               atol=1e-10)
+
+
 def test_sharded_map_fit_recovers_hypers(mesh):
     """End-to-end distributed MAP fit: must match the single-device engine
     fit on the same data to optimiser tolerance."""
