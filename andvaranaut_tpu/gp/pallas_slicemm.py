@@ -39,16 +39,30 @@ def _two_sum(hi, lo, x):
     return s, lo + comp
 
 
-def _kernel(nslices, nk, *refs):
+def _kernel(nslices, nk, lower_only, *refs):
     """One (TM, TN) output tile; grid dim 2 iterates k-chunks.
 
-    refs: a_0..a_{ns-1} (TM, TK) int8, b_0..b_{ns-1} (TK, TN) int8,
+    refs: bounds (2,) int32 SMEM [row_start, col_start], then
+    a_0..a_{ns-1} (TM, TK) int8, b_0..b_{ns-1} (TK, TN) int8,
     hi/lo (TM, TN) f32 outputs, then ns (TM, TN) int32 group scratches.
+
+    Tiles that are statically known zero/ignored are SKIPPED on the MXU
+    (their scratches stay zero, so the combine writes exact zeros):
+    - lower_only (static): strictly-upper tiles ti < tj — for syrk
+      updates whose consumers only read the lower triangle;
+    - row_start/col_start (dynamic): output rows/cols below these global
+      indices are zero or discarded by the caller (the blocked
+      factorisation's masked full-height updates — the rows above the
+      active trailing submatrix).
     """
+    bounds_ref = refs[0]
+    refs = refs[1:]
     a_refs = refs[:nslices]
     b_refs = refs[nslices : 2 * nslices]
     hi_ref, lo_ref = refs[2 * nslices], refs[2 * nslices + 1]
     acc_refs = refs[2 * nslices + 2 :]
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
     kidx = pl.program_id(2)
 
     @pl.when(kidx == 0)
@@ -56,14 +70,21 @@ def _kernel(nslices, nk, *refs):
         for acc in acc_refs:
             acc[:] = jnp.zeros_like(acc)
 
-    for i in range(nslices):
-        for j in range(nslices - i):
-            p = jax.lax.dot_general(
-                a_refs[i][:], b_refs[j][:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            acc_refs[i + j][:] += p
+    active = ((ti + jnp.int32(1)) * jnp.int32(_TM) > bounds_ref[0]) & (
+        (tj + jnp.int32(1)) * jnp.int32(_TN) > bounds_ref[1])
+    if lower_only:
+        active = active & (ti >= tj)
+
+    @pl.when(active)
+    def _():
+        for i in range(nslices):
+            for j in range(nslices - i):
+                p = jax.lax.dot_general(
+                    a_refs[i][:], b_refs[j][:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc_refs[i + j][:] += p
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -85,12 +106,24 @@ def _kernel(nslices, nk, *refs):
         lo_ref[:] = lo
 
 
-@partial(jax.jit, static_argnames=("nslices",))
-def pallas_int_slice_matmul(A, B, nslices: int = 6):
+@partial(jax.jit, static_argnames=("nslices", "lower_only"))
+def pallas_int_slice_matmul(A, B, nslices: int = 6,
+                            lower_only: bool = False,
+                            row_start=None, col_start=None):
     """C = A @ B via the fused integer-Ozaki Pallas kernel.
 
     Same scaling/slicing as precision.int_slice_matmul; the pair-product
     reduction runs in one kernel.
+
+    Sparsity contract (all optional, default = dense):
+    - lower_only=True: only tiles on/below the tile diagonal are
+      computed; strictly-upper tiles are EXACT ZEROS in the output (the
+      caller must not rely on them — for symmetric products whose
+      consumers read the lower triangle only).
+    - row_start / col_start (dynamic i32 scalars): output rows/cols
+      below these indices are zeroed tile-wise (tiles wholly below are
+      skipped on the MXU) — for masked-update callers whose operand rows
+      are zero or whose output rows are discarded there.
     """
     out_dtype = A.dtype
     m, k = A.shape
@@ -109,6 +142,12 @@ def pallas_int_slice_matmul(A, B, nslices: int = 6):
         b_sl = [jnp.pad(b, ((0, kp - k), (0, np_ - n))) for b in b_sl]
     nk = kp // _TK
 
+    bounds = jnp.stack([
+        jnp.asarray(0 if row_start is None else row_start, jnp.int32),
+        jnp.asarray(0 if col_start is None else col_start, jnp.int32),
+    ])
+    s_spec = pl.BlockSpec((2,), lambda i, j, kk: (np.int32(0),),
+                          memory_space=pltpu.SMEM)
     a_spec = pl.BlockSpec((_TM, _TK), lambda i, j, kk: (i, kk),
                           memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((_TK, _TN), lambda i, j, kk: (kk, j),
@@ -116,9 +155,9 @@ def pallas_int_slice_matmul(A, B, nslices: int = 6):
     o_spec = pl.BlockSpec((_TM, _TN), lambda i, j, kk: (i, j),
                           memory_space=pltpu.VMEM)
     hi, lo = pl.pallas_call(
-        partial(_kernel, nslices, nk),
+        partial(_kernel, nslices, nk, lower_only),
         grid=(mp // _TM, np_ // _TN, nk),
-        in_specs=[a_spec] * nslices + [b_spec] * nslices,
+        in_specs=[s_spec] + [a_spec] * nslices + [b_spec] * nslices,
         out_specs=(o_spec, o_spec),
         out_shape=(
             jax.ShapeDtypeStruct((mp, np_), jnp.float32),
@@ -128,6 +167,6 @@ def pallas_int_slice_matmul(A, B, nslices: int = 6):
             pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
         ],
         interpret=interpret_mode(),
-    )(*a_sl, *b_sl)
+    )(bounds, *a_sl, *b_sl)
     C = hi[:m, :n].astype(out_dtype) + lo[:m, :n].astype(out_dtype)
     return C * (sA * sB)

@@ -40,8 +40,14 @@ INV_SOLVE_ITERS = 2
 # shrink: each level factors ceil(nb/CHOL_SHRINK) block columns at the
 # current height, then statically slices the trailing submatrix.  Larger
 # = less masked-update waste (2 -> ~1.7x ideal FLOPs, 4 -> ~1.25x) but
-# more compiled level bodies (~log_{s/(s-1)}(nb)).
-CHOL_SHRINK = 4
+# more compiled level bodies (~log_{s/(s-1)}(nb)).  CHOL_SHRINK=1 means
+# ONE full-height level (fewest compiled bodies); since the Pallas
+# kernel's tile predication (row/col_start + lower_only) now skips the
+# masked rows and the upper triangle on the MXU, the level shrinking
+# only saves elementwise A-update bandwidth, not matmul FLOPs.
+import os as _os
+
+CHOL_SHRINK = int(_os.environ.get("ANDVARANAUT_CHOL_SHRINK", "4"))
 
 
 def _split_slices(A, nslices: int):
@@ -182,20 +188,45 @@ def slice_matmul_bf16(A, B, nslices: int = DEFAULT_NSLICES,
 
 
 def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
-                 chunk_k: int = DEFAULT_CHUNK_K):
+                 chunk_k: int = DEFAULT_CHUNK_K,
+                 lower_only: bool = False, row_start=None, col_start=None):
     """Accurate MXU matmul — integer-Ozaki path (see int_slice_matmul).
 
     On TPU the fused Pallas kernel (one HBM pass per output tile) replaces
     the XLA-composed 21-dot version: measured 1.8x faster at 16k and
     bit-identical.  CPU/tests keep the XLA composition (interpret-mode
-    Pallas is orders slower)."""
+    Pallas is orders slower).
+
+    lower_only / row_start / col_start declare output regions that are
+    zero or ignored by the caller (256-tile granular — see
+    pallas_int_slice_matmul): the Pallas kernel SKIPS those tiles on the
+    MXU (the blocked Cholesky's symmetric trailing updates and masked
+    full-height rows); the composed path applies the identical tile-wise
+    zeroing so both backends produce the same array."""
     from .._config import is_tpu
 
     if is_tpu():
         from . import pallas_slicemm
 
-        return pallas_slicemm.pallas_int_slice_matmul(A, B)
-    return int_slice_matmul(A, B)
+        return pallas_slicemm.pallas_int_slice_matmul(
+            A, B, lower_only=lower_only, row_start=row_start,
+            col_start=col_start)
+    C = int_slice_matmul(A, B)
+    if lower_only or row_start is not None or col_start is not None:
+        from . import pallas_slicemm as _ps
+
+        m, n = C.shape
+        ti = jnp.arange(m)[:, None] // _ps._TM
+        tj = jnp.arange(n)[None, :] // _ps._TN
+        keep = jnp.ones((m, n), bool)
+        if lower_only:
+            keep = keep & (ti >= tj)
+        if row_start is not None:
+            keep = keep & ((ti + 1) * _ps._TM > row_start)
+        if col_start is not None:
+            keep = keep & ((tj + 1) * _ps._TN > col_start)
+        C = jnp.where(keep, C, 0.0)
+    return C
 
 
 @partial(jax.jit, static_argnames=("nslices", "chunk_k"))
@@ -331,6 +362,10 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
         A, Dinv = carry
         lo = j * block
         Ajj = jax.lax.dynamic_slice(A, (lo, lo), (block, block))
+        if mixed:
+            # the predicated syrk below maintains only A's lower
+            # triangle: rebuild the diagonal block's upper half from it
+            Ajj = jnp.tril(Ajj) + jnp.tril(Ajj, -1).T
         Ljj = _chol_f64(Ajj)
         Linv = (
             tri_inv_mixed(Ljj, nslices=nslices) if mixed
@@ -340,10 +375,22 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
             Dinv, Linv[None], (j, 0, 0))
         cols = jax.lax.dynamic_slice(A, (0, lo), (m, block))
         below = row_idx >= lo + block
-        panel = jnp.where(below, mm(cols, Linv.T), 0.0)
-        # trailing syrk; masked panel rows make this a no-op outside the
-        # trailing submatrix
-        A = A - mm(panel, panel.T)
+        if mixed:
+            # panel rows above the trailing submatrix are discarded by
+            # the mask; tell the kernel so it skips them on the MXU
+            panel = jnp.where(
+                below, mm(cols, Linv.T, row_start=lo + block), 0.0)
+            # trailing syrk is symmetric with zero rows/cols above the
+            # trailing submatrix: compute lower-triangle tiles only —
+            # this halves the factorisation's dominant MXU work (only
+            # the lower triangle of A is ever consumed)
+            A = A - mm(panel, panel.T, lower_only=True,
+                       row_start=lo + block, col_start=lo + block)
+        else:
+            panel = jnp.where(below, mm(cols, Linv.T), 0.0)
+            # trailing syrk; masked panel rows make this a no-op outside
+            # the trailing submatrix
+            A = A - mm(panel, panel.T)
         # write the finished column block (diagonal + sub-diagonal panel)
         Lcol = jax.lax.dynamic_update_slice(panel, Ljj, (lo, 0))
         A = jax.lax.dynamic_update_slice(A, Lcol, (0, lo))
@@ -393,6 +440,9 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
     while True:
         nbl = m // block
         if nbl == 1:
+            if mixed:
+                # predicated syrk levels maintain only the lower triangle
+                A = jnp.tril(A) + jnp.tril(A, -1).T
             Ljj = _chol_f64(A)
             Linv = (
                 tri_inv_mixed(Ljj, nslices=nslices) if mixed
@@ -410,6 +460,8 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
         A = A[h:, h:]
         offset += h
         m -= h
+        if m == 0:  # CHOL_SHRINK=1: the single level factored everything
+            break
 
     Dinv = jnp.concatenate(Dparts, axis=0)
     if n != n0:
@@ -479,6 +531,33 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
 
     _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))
     return x
+
+
+@jax.custom_vjp
+def solve_lower_linear(L, b, Dinv):
+    """blocked_solve_lower as a LINEAR operator in the rhs b for autodiff.
+
+    The mixed substitution path contains int8-Ozaki slice extraction
+    (rounding + exponent-bit assembly) whose autodiff is undefined; this
+    wrapper supplies the exact adjoint of the linear map b -> L^-1 b,
+    namely ct -> L^-T ct through the blocked upper solve.  L and Dinv are
+    conditioning state and MUST be held constant under differentiation
+    (their cotangents are returned as zero) — true in every caller (BO
+    acquisition gradients wrt query points)."""
+    return blocked_solve_lower(L, b, Dinv=Dinv)
+
+
+def _solve_lower_linear_fwd(L, b, Dinv):
+    return solve_lower_linear(L, b, Dinv), (L, Dinv)
+
+
+def _solve_lower_linear_bwd(res, ct):
+    L, Dinv = res
+    ctb = blocked_solve_upper(L, ct, Dinv=Dinv)
+    return jnp.zeros_like(L), ctb, jnp.zeros_like(Dinv)
+
+
+solve_lower_linear.defvjp(_solve_lower_linear_fwd, _solve_lower_linear_bwd)
 
 
 def blocked_solve_upper(L, b, block: int = 256, mixed: bool = True,

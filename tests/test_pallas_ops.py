@@ -50,6 +50,73 @@ def test_pallas_int_slice_matmul_parity(rng):
     assert np.abs(Cf - A @ B).max() / scale < 1e-9
 
 
+def test_pallas_int_slice_matmul_predicated(rng):
+    """Tile-predicated kernel modes (interpret mode): lower_only and
+    row/col_start must zero exactly the skipped 256-tiles and leave every
+    computed tile bit-identical to the dense kernel."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+    import jax.numpy as jnp
+
+    m = 600  # 3 tile rows/cols, last partial
+    A = rng.normal(size=(m, 300))
+    B = rng.normal(size=(300, m))
+    dense = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B)))
+    pred = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B), lower_only=True,
+        row_start=jnp.int32(256), col_start=jnp.int32(0)))
+    TM = pallas_slicemm._TM
+    ti = np.arange(m)[:, None] // TM
+    tj = np.arange(m)[None, :] // TM
+    keep = (ti >= tj) & ((ti + 1) * TM > 256)
+    np.testing.assert_array_equal(pred, np.where(keep, dense, 0.0))
+
+
+def test_slice_matmul_sparsity_flags_composed(rng):
+    """The CPU/XLA-composed dispatcher path must apply the identical
+    tile-granular zeroing as the Pallas kernel's predication."""
+    from andvaranaut_tpu.gp import pallas_slicemm, precision
+    import jax.numpy as jnp
+
+    m = 600
+    A = rng.normal(size=(m, 128))
+    B = rng.normal(size=(128, m))
+    full = np.asarray(precision.int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B)))
+    got = np.asarray(precision.slice_matmul(
+        jnp.asarray(A), jnp.asarray(B), lower_only=True, row_start=256,
+        col_start=256))
+    TM = pallas_slicemm._TM
+    ti = np.arange(m)[:, None] // TM
+    tj = np.arange(m)[None, :] // TM
+    keep = (ti >= tj) & ((ti + 1) * TM > 256) & ((tj + 1) * TM > 256)
+    np.testing.assert_array_equal(got, np.where(keep, full, 0.0))
+
+
+def test_blocked_cholesky_predicated_levels(rng):
+    """blocked_cholesky's predicated trailing updates (lower-only syrk,
+    masked-row skip) must reproduce the dense factor at sizes where the
+    256-tile predication is actually active."""
+    from andvaranaut_tpu.gp import precision
+    import jax.numpy as jnp
+
+    n = 768
+    X = rng.uniform(size=(n, 2))
+    d0 = X[:, 0, None] - X[None, :, 0]
+    d1 = X[:, 1, None] - X[None, :, 1]
+    K = np.exp(-0.5 * (d0 ** 2 / 0.25 + d1 ** 2 / 0.49))
+    K = K + 1e-4 * np.eye(n)
+    L = np.asarray(precision.blocked_cholesky(jnp.asarray(K), block=256))
+    L0 = np.linalg.cholesky(K)
+    # element grade matches the unpredicated mixed factor (ill-conditioned
+    # kernel matrices amplify the ~4e-11 product error; the established
+    # criterion is reconstruction, cf. test_blocked_cholesky_matches_f64)
+    rel = np.abs(L - L0).max() / np.abs(L0).max()
+    assert rel < 1e-5, rel
+    rec = np.abs(np.tril(L) @ np.tril(L).T - K).max() / np.abs(K).max()
+    assert rec < 5e-7, rec
+
+
 def test_gram_cross_fast_dispatch_parity(rng, monkeypatch):
     """gram_cross with the fast path forced (interpret-mode Pallas on CPU)
     must match the exact composite gram to f32 grade, and its custom JVP
