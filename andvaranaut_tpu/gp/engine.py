@@ -415,21 +415,29 @@ def chol_state_masked_mixed(kerns, ops, xin, yin, valid, l, kv, gv, alpha,
     return L, av, Dinv
 
 
-@partial(jax.jit, static_argnames=("kerns", "ops"))
+@partial(jax.jit, static_argnames=("kerns", "ops", "fast"))
 def predict_from_chol_masked_mixed(kerns, ops, xin, valid, L, av, Dinv,
-                                   xnew, l, kv, gv, alpha):
+                                   xnew, l, kv, gv, alpha,
+                                   fast: bool = False):
     """Predictive mean/var from the mixed conditioning state.  Means
     contract the exact f64 cross-Gram against the refined alpha = K^-1 y
     (f64-grade); the variance's whitened solve runs through the blocked
     substitution (slice matmuls — its error is far below the clamped,
     noise-floored variance).  All contractions are fused f64
-    broadcast-reduces (f64 dot_general is a platform pathology)."""
+    broadcast-reduces (f64 dot_general is a platform pathology).
+
+    fast=True swaps the cross-Gram for the fused Pallas f32 tile kernel —
+    acquisition-grade accuracy only (BO programs inside compiled loops)."""
     from . import precision
 
-    Kxs = kernels.gram(kerns, ops, xin, xnew, l, kv, alpha)
+    Kxs = (
+        kernels.gram_fast(kerns, ops, xin, xnew, l, kv, alpha) if fast
+        else kernels.gram(kerns, ops, xin, xnew, l, kv, alpha))
     Kxs = Kxs * valid.astype(Kxs.dtype)[:, None]
     mu = jnp.sum(Kxs * av[:, None], axis=0)
-    A = precision.blocked_solve_lower(L, Kxs, Dinv=Dinv)
+    # linear-JVP wrapper: BO refine differentiates predictions wrt the
+    # query point; the raw mixed substitution's int8 slicing has no AD
+    A = precision.solve_lower_linear(L, Kxs, Dinv)
     kss = kernels.gram(kerns, ops, xnew, None, l, kv, alpha, diag=True)
     var = jnp.maximum(kss - jnp.sum(A * A, axis=0), 0.0) + gv
     return mu, var

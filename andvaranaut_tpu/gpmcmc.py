@@ -542,21 +542,39 @@ class GPMCMC(LHC):
         mref = getattr(self.mean, "__func__", self.mean)
         return mref is GPMCMC.zero_mean or self.mean == self.zero_mean
 
+    def _bo_mixed(self):
+        """Whether BO conditioning/acquisition should route through the
+        mixed-precision blocked factorisation — same dispatch rule as
+        GPState.predict (the exact path's emulated-f64 cholesky cannot
+        compile at large N on this TPU platform, docs/TPU_NOTES.md)."""
+        from ._config import is_tpu
+
+        return is_tpu() and len(self.xc) >= GPState.MIXED_N
+
     def _bo_state_args(self, jitter):
         """Padded conditioning state for the CURRENT converted dataset —
         recomputed cheaply each BO iteration through shape-stable compiled
-        programs."""
+        programs.  Returns (state args, has_alpha, mixed)."""
         l, kv, gv, alpha = engine.hypers_to_args(self.hypers, self.noise)
         has_alpha = alpha is not None
+        alpha_arg = alpha if has_alpha else jnp.asarray(0.0)
+        if self._bo_mixed():
+            blk = GPState.MIXED_BLOCK
+            xin_p, yin_p, valid = engine.pad_data(
+                self.xc, self.yc[:, 0], blk)
+            L, av, Dinv = engine.chol_state_masked_mixed(
+                tuple(self.kerns), tuple(self.ops), xin_p, yin_p, valid, l,
+                kv, gv, alpha, jitter, block=blk)
+            return ((xin_p, valid, L, av, Dinv, l, kv, gv, alpha_arg),
+                    has_alpha, True)
         xin_p, yin_p, valid = engine.pad_data(
             self.xc, self.yc[:, 0], GPState.BUCKET)
         L, v = engine.chol_state_masked(
             tuple(self.kerns), tuple(self.ops), xin_p, yin_p, valid, l, kv,
             gv, alpha, jitter)
-        alpha_arg = alpha if has_alpha else jnp.asarray(0.0)
-        return (xin_p, valid, L, v, l, kv, gv, alpha_arg), has_alpha
+        return (xin_p, valid, L, v, l, kv, gv, alpha_arg), has_alpha, False
 
-    def _acq_fn(self, method, opt_type, normvar, has_alpha):
+    def _acq_fn(self, method, opt_type, normvar, has_alpha, mixed=False):
         """Pure batched acquisition: (X, *state args, yopt) -> values to
         MINIMISE; closes only over static config + transform objects."""
         from ._config import is_tpu
@@ -570,12 +588,21 @@ class GPMCMC(LHC):
         # rides the fused Pallas tile kernel
         fast = is_tpu()
 
-        def acq(X, xin_p, valid, L, v, l, kv, gv, alpha, yopt):
+        def acq(X, *args):
+            if mixed:
+                xin_p, valid, L, v, Dinv, l, kv, gv, alpha, yopt = args
+            else:
+                xin_p, valid, L, v, l, kv, gv, alpha, yopt = args
             cols = [conrevs[i].con(X[:, i]) for i in range(nx)]
             Xc = jnp.stack(cols, axis=1)
-            mu, var = engine.predict_from_chol_masked(
-                kerns, ops, xin_p, valid, L, v, Xc, l, kv, gv,
-                alpha if has_alpha else None, fast=fast)
+            if mixed:
+                mu, var = engine.predict_from_chol_masked_mixed(
+                    kerns, ops, xin_p, valid, L, v, Dinv, Xc, l, kv, gv,
+                    alpha if has_alpha else None, fast=fast)
+            else:
+                mu, var = engine.predict_from_chol_masked(
+                    kerns, ops, xin_p, valid, L, v, Xc, l, kv, gv,
+                    alpha if has_alpha else None, fast=fast)
             if method in ("eps-RS", "exploit"):
                 y, _ = quad.gh_stats(yrev, mu, var)
                 return y if opt_type == "min" else -y
@@ -593,7 +620,8 @@ class GPMCMC(LHC):
 
     _BO_CACHE_MAX = 32
 
-    def _get_bo_program(self, kind, method, opt_type, normvar, has_alpha):
+    def _get_bo_program(self, kind, method, opt_type, normvar, has_alpha,
+                        mixed=False):
         """Jitted BO programs cached per (kind, acquisition, model spec,
         transform CONTENT, data bucket) so BO iterations re-use compiled
         executables (a fresh trace per iteration costs ~a minute of XLA
@@ -605,19 +633,20 @@ class GPMCMC(LHC):
         (LRU) so long-running sessions cannot grow it without limit."""
         from collections import OrderedDict
 
+        bucket = GPState.MIXED_BLOCK if mixed else GPState.BUCKET
         key = (
             kind, method, opt_type, bool(normvar), self.kernel, self.noise,
             tuple(_transform_content_key(c) for c in self.xconrevs),
             _transform_content_key(self.yconrevs[0]),
-            engine.round_up(max(len(self.xc), 1), GPState.BUCKET),
-            has_alpha)
+            engine.round_up(max(len(self.xc), 1), bucket),
+            has_alpha, bool(mixed))
         cache = self.__dict__.setdefault("_bo_cache", OrderedDict())
         if key in cache:
             cache.move_to_end(key)
             return cache[key]
         while len(cache) >= self._BO_CACHE_MAX:
             cache.popitem(last=False)
-        acq = self._acq_fn(method, opt_type, normvar, has_alpha)
+        acq = self._acq_fn(method, opt_type, normvar, has_alpha, mixed)
         if kind == "batch":
             run = jax.jit(acq)
         elif kind == "de":
@@ -775,7 +804,7 @@ class GPMCMC(LHC):
                 if method != "eps-RS" or roll > eps:
                     on_device = self._is_zero_mean()
                     if on_device:
-                        sargs, has_alpha = self._bo_state_args(jitter)
+                        sargs, has_alpha, mixed = self._bo_state_args(jitter)
                         yopt_j = jnp.asarray(float(self.yopt))
                     if opt_method == "DE":
                         if not on_device:
@@ -791,7 +820,8 @@ class GPMCMC(LHC):
                             fopt = res.fun
                         else:
                             run = self._get_bo_program(
-                                "de", method, opt_type, normvar, has_alpha)
+                                "de", method, opt_type, normvar, has_alpha,
+                                mixed)
                             xbest, fopt, _ = run(
                                 jax.random.PRNGKey(
                                     np.random.randint(2**31 - 1)),
@@ -805,7 +835,7 @@ class GPMCMC(LHC):
                         if on_device:
                             run = self._get_bo_program(
                                 "batch", method, opt_type, normvar,
-                                has_alpha)
+                                has_alpha, mixed)
                             ysamps = np.asarray(run(
                                 jnp.asarray(xsamps), *sargs, yopt_j))
                         else:
@@ -824,9 +854,10 @@ class GPMCMC(LHC):
                 roll = np.random.rand()
                 if method != "eps-RS" or roll > eps:
                     if opt_method in ("map", "predict"):
-                        sargs, has_alpha = self._bo_state_args(jitter)
+                        sargs, has_alpha, mixed = self._bo_state_args(jitter)
                         run, rvpack = self._get_bo_program(
-                            "refine", method, opt_type, normvar, has_alpha)
+                            "refine", method, opt_type, normvar, has_alpha,
+                            mixed)
                         if opt_method == "map":
                             z0 = jnp.asarray(
                                 np.random.normal(size=rvpack.total))
