@@ -437,6 +437,207 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
     return jax.lax.scan(step, carry, steps)
 
 
+@partial(jax.jit, static_argnames=(
+    "logp_fn", "num_warmup", "budget", "chunk"))
+def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
+                    budget, chunk):
+    """Advance one chain by `chunk` LEAPFROGS (vmapped over chains by the
+    caller): a flat scan over leapfrog steps with dynamic trajectory
+    boundaries.
+
+    The fixed-budget _hmc_transition pays its full 2**depth leapfrog
+    budget every transition (masked trailing steps still evaluate the
+    objective — the fori bound must be static on this platform), wasting
+    ~2x at the uniform-jitter mean.  Here each scan step is exactly one
+    leapfrog; when the current trajectory's sampled length is reached the
+    step additionally performs the (cheap, masked) Metropolis accept,
+    adaptation bookkeeping, momentum refresh and next-length draw — so
+    the compiled program does no wasted objective evaluations while
+    keeping the TPU-safe shape: a single bounded scan, no nested
+    while_loop (the NUTS worker-fault trigger, docs/TPU_NOTES.md)."""
+
+    def U_and_grad(z):
+        lp, g = jax.value_and_grad(logp_fn)(z)
+        return -lp, -g
+
+    w_start = jnp.asarray(int(0.15 * num_warmup))
+    w_end = jnp.asarray(
+        max(int(0.95 * num_warmup), int(0.15 * num_warmup) + 1))
+
+    def step(carry, key):
+        (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0, eps_cur,
+         sdone, nsteps, tidx) = carry
+        kmom, klen, kacc = jax.random.split(key, 3)
+
+        boundary = sdone >= nsteps
+        real = boundary & (nsteps > 0)
+
+        # -- complete the trajectory (masked no-op when not at boundary)
+        H1 = Uc + _kinetic(rc, inv_mass)
+        H1 = jnp.where(jnp.isnan(H1), jnp.inf, H1)
+        diverging = (H1 - H0) > _MAX_DELTA_ENERGY
+        aprob = jnp.minimum(1.0, jnp.exp(H0 - H1))
+        accept = (~diverging) & (
+            jax.random.uniform(kacc, (), z.dtype) < aprob)
+        z = jnp.where(real & accept, zc, z)
+        U = jnp.where(real & accept, Uc, U)
+        grad = jnp.where(real & accept, gc, grad)
+        nsteps_done = nsteps  # completed trajectory's length, for stats
+
+        in_warmup = tidx < num_warmup
+        da_new = _da_update(da, aprob, target_accept)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(real & in_warmup, a, b), da_new, da)
+
+        count, mean, m2 = welford
+        in_window = (
+            real & in_warmup & (tidx >= w_start) & (tidx < w_end))
+        delta = z - mean
+        count1 = count + 1
+        mean1 = mean + delta / count1
+        m2_1 = m2 + delta * (z - mean1)
+        welford = (
+            jnp.where(in_window, count1, count),
+            jnp.where(in_window, mean1, mean),
+            jnp.where(in_window, m2_1, m2),
+        )
+        apply_mass = real & (tidx == w_end)
+        cnt = jnp.maximum(welford[0], 1.0)
+        var = welford[2] / cnt
+        var_reg = (cnt / (cnt + 5.0)) * var + 1e-3 * (5.0 / (cnt + 5.0))
+        inv_mass = jnp.where(apply_mass, var_reg, inv_mass)
+        da_reset = _da_init(jnp.exp(da.log_eps))
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(apply_mass, a, b), da_reset, da)
+
+        out = {
+            "z": z, "lp": -U, "accept": aprob, "diverging": diverging,
+            "depth": nsteps_done.astype(jnp.int32), "eps": eps_cur,
+            "real": real, "tidx": tidx,
+        }
+        tidx = tidx + jnp.where(real, 1, 0)
+
+        # -- start the next trajectory (masked when mid-trajectory)
+        in_warmup2 = tidx < num_warmup
+        eps_next = jnp.where(
+            in_warmup2, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
+        mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+        r0 = jax.random.normal(kmom, z.shape, z.dtype) * mass_sqrt
+        nsteps_new = jax.random.randint(
+            klen, (), 1, budget + 1, dtype=jnp.int32)
+        zc = jnp.where(boundary, z, zc)
+        rc = jnp.where(boundary, r0, rc)
+        Uc = jnp.where(boundary, U, Uc)
+        gc = jnp.where(boundary, grad, gc)
+        H0 = jnp.where(boundary, U + _kinetic(r0, inv_mass), H0)
+        eps_cur = jnp.where(boundary, eps_next, eps_cur)
+        nsteps = jnp.where(boundary, nsteps_new, nsteps)
+        sdone = jnp.where(boundary, 0, sdone)
+
+        # -- one leapfrog (every step)
+        zc, rc, Uc, gc = _leapfrog(zc, rc, gc, eps_cur, inv_mass,
+                                   U_and_grad)
+        sdone = sdone + 1
+
+        carry = (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0,
+                 eps_cur, sdone, nsteps, tidx)
+        return carry, out
+
+    return jax.lax.scan(step, carry, keys)
+
+
+def _flat_carry_init(chain_init):
+    """Extend an _init_chain carry with the flat-scan trajectory state:
+    a zero-length 'trajectory' whose completion is a no-op, so the first
+    scan step starts trajectory 1 cleanly."""
+    z, U, grad, da, inv_mass, welford = chain_init
+    zeros = jnp.zeros_like(z)
+    i0 = jnp.zeros((), jnp.int32)
+    return (z, U, grad, da, inv_mass, welford, z, zeros, U, grad, U,
+            jnp.exp(da.log_eps), i0, i0, i0)
+
+
+def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
+                    num_chains=4, target_accept=0.8, max_treedepth=6,
+                    jitter_init=1.0, shard=True, leaps_per_call=2048):
+    """Jittered-trajectory HMC through the flat leapfrog-level scan
+    (_run_chunk_flat): the TPU sampler with no masked-step waste.
+
+    Trajectory lengths are drawn uniformly in [1, 2**max_treedepth] per
+    transition; expected cost per transition is half the budget plus the
+    boundary bookkeeping, vs the full budget for the padded
+    _hmc_transition.  Chains are vmapped (and sharded when the chain
+    count divides the device count); chunks of `leaps_per_call` leapfrogs
+    per device execution keep runs clear of runtime watchdogs.  Returns
+    the same (chains, draws) dict schema as nuts_sample."""
+    dim = int(np.asarray(z0).shape[0])
+    budget = 2 ** max_treedepth
+    kinit, keps, krun = jax.random.split(key, 3)
+    z_inits = jnp.asarray(z0)[None, :] + jax.random.uniform(
+        kinit, (num_chains, dim), minval=-jitter_init, maxval=jitter_init,
+        dtype=jnp.asarray(z0).dtype)
+    eps_keys = jax.random.split(keps, num_chains)
+
+    sharding = None
+    if (shard and jax.device_count() > 1
+            and num_chains % jax.device_count() == 0):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        sharding = NamedSharding(mesh, P("chains"))
+        eps_keys = jax.device_put(eps_keys, sharding)
+        z_inits = jax.device_put(z_inits, sharding)
+
+    init = jax.vmap(lambda k, z: _init_chain(k, z, logp_fn, dim))
+    carry = jax.vmap(_flat_carry_init)(init(eps_keys, z_inits))
+
+    total = num_warmup + num_samples
+    run = jax.vmap(
+        lambda c, ks: _run_chunk_flat(
+            c, ks, logp_fn, num_warmup, target_accept, budget,
+            leaps_per_call),
+        in_axes=(0, 0))
+
+    # run chunks of leapfrogs until every chain has `total` completed
+    # transitions (+1 scan step commits the final trajectory)
+    collected = [[] for _ in range(num_chains)]
+    done = np.zeros(num_chains, dtype=int)
+    max_leaps = (total + 2) * (budget + 1) * 4  # generous runaway bound
+    leaps = 0
+    while done.min() < total and leaps < max_leaps:
+        krun, kchunk = jax.random.split(krun)
+        ks = jax.random.split(
+            kchunk, num_chains * leaps_per_call).reshape(
+            num_chains, leaps_per_call, 2)
+        if sharding is not None:
+            ks = jax.device_put(ks, sharding)
+        carry, hist = run(carry, ks)
+        leaps += leaps_per_call
+        real = np.asarray(hist["real"])
+        tidx = np.asarray(hist["tidx"])
+        for c in range(num_chains):
+            sel = real[c] & (tidx[c] >= num_warmup) & (tidx[c] < total)
+            if sel.any():
+                collected[c].append({
+                    k: np.asarray(v[c])[sel]
+                    for k, v in hist.items() if k not in ("real", "tidx")
+                })
+        done = np.array([
+            sum(len(part["lp"]) for part in collected[c])
+            for c in range(num_chains)])
+
+    def chain_stack(c, k):
+        arr = np.concatenate([part[k] for part in collected[c]], axis=0)
+        return arr[:num_samples]
+
+    keysout = ("z", "lp", "accept", "diverging", "depth", "eps")
+    return {
+        k: jnp.asarray(np.stack(
+            [chain_stack(c, k) for c in range(num_chains)]))
+        for k in keysout
+    }
+
+
 def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                 num_chains=4, target_accept=0.8, max_treedepth=10,
                 jitter_init=1.0, shard=True, steps_per_call=100,
@@ -450,11 +651,23 @@ def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     Sampling advances in `steps_per_call` chunks (one compiled stepper
     re-invoked from the host) so no single device execution runs long
     enough to trip runtime watchdogs.
-    sampler: 'nuts' (adaptive tree building) or 'hmc' (fixed-budget
-    jittered trajectories, the TPU-safe mode — see _hmc_transition;
-    trajectory budget is 2**max_treedepth leapfrogs).
+    sampler: 'nuts' (adaptive tree building), 'hmc' (jittered
+    trajectories through the flat leapfrog-level scan — the TPU-safe
+    mode with no masked-step waste, see _run_chunk_flat), or
+    'hmc_fixed' (the padded fixed-budget transition, kept for A/B).
+    Trajectory budget for both HMC modes is 2**max_treedepth leapfrogs.
     Returns dict of stacked arrays with leading (chains, draws).
     """
+    if sampler == "hmc":
+        budget = 2 ** max_treedepth
+        return hmc_flat_sample(
+            logp_fn, z0, key=key, num_warmup=num_warmup,
+            num_samples=num_samples, num_chains=num_chains,
+            target_accept=target_accept, max_treedepth=max_treedepth,
+            jitter_init=jitter_init, shard=shard,
+            leaps_per_call=max(256, steps_per_call * (budget + 1) // 2))
+    if sampler == "hmc_fixed":
+        sampler = "hmc"  # the padded per-transition path below
     dim = int(np.asarray(z0).shape[0])
     kinit, keps, krun = jax.random.split(key, 3)
     z_inits = jnp.asarray(z0)[None, :] + jax.random.uniform(
