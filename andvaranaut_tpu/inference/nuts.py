@@ -438,9 +438,9 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
 
 
 @partial(jax.jit, static_argnames=(
-    "logp_fn", "num_warmup", "budget", "chunk"))
+    "logp_fn", "num_warmup", "budget", "chunk", "unroll"))
 def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
-                    budget, chunk):
+                    budget, chunk, unroll: int = 1):
     """Advance one chain by `chunk` LEAPFROGS (vmapped over chains by the
     caller): a flat scan over leapfrog steps with dynamic trajectory
     boundaries.
@@ -454,7 +454,16 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
     adaptation bookkeeping, momentum refresh and next-length draw — so
     the compiled program does no wasted objective evaluations while
     keeping the TPU-safe shape: a single bounded scan, no nested
-    while_loop (the NUTS worker-fault trigger, docs/TPU_NOTES.md)."""
+    while_loop (the NUTS worker-fault trigger, docs/TPU_NOTES.md).
+
+    Each scan step runs `unroll` leapfrogs back-to-back with the
+    boundary bookkeeping only between blocks (trajectory lengths are
+    quantised to multiples of `unroll`): bare back-to-back leapfrogs
+    let XLA software-pipeline consecutive objective evaluations, which
+    per-leapfrog bookkeeping was measured to break (32 vs 20
+    ms/leapfrog at n=256 on the TPU).  `chunk` is a LEAPFROG count and
+    must be a multiple of `unroll`; `keys` has chunk/unroll rows."""
+    unroll = max(1, min(unroll, budget))
 
     def U_and_grad(z):
         lp, g = jax.value_and_grad(logp_fn)(z)
@@ -523,8 +532,8 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
             in_warmup2, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
         mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
         r0 = jax.random.normal(kmom, z.shape, z.dtype) * mass_sqrt
-        nsteps_new = jax.random.randint(
-            klen, (), 1, budget + 1, dtype=jnp.int32)
+        nsteps_new = unroll * jax.random.randint(
+            klen, (), 1, budget // unroll + 1, dtype=jnp.int32)
         zc = jnp.where(boundary, z, zc)
         rc = jnp.where(boundary, r0, rc)
         Uc = jnp.where(boundary, U, Uc)
@@ -534,10 +543,11 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         nsteps = jnp.where(boundary, nsteps_new, nsteps)
         sdone = jnp.where(boundary, 0, sdone)
 
-        # -- one leapfrog (every step)
-        zc, rc, Uc, gc = _leapfrog(zc, rc, gc, eps_cur, inv_mass,
-                                   U_and_grad)
-        sdone = sdone + 1
+        # -- `unroll` back-to-back leapfrogs (every step)
+        for _ in range(unroll):
+            zc, rc, Uc, gc = _leapfrog(zc, rc, gc, eps_cur, inv_mass,
+                                       U_and_grad)
+        sdone = sdone + unroll
 
         carry = (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0,
                  eps_cur, sdone, nsteps, tidx)
@@ -559,7 +569,8 @@ def _flat_carry_init(chain_init):
 
 def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                     num_chains=4, target_accept=0.8, max_treedepth=6,
-                    jitter_init=1.0, shard=True, leaps_per_call=2048):
+                    jitter_init=1.0, shard=True, leaps_per_call=2048,
+                    unroll=1):
     """Jittered-trajectory HMC through the flat leapfrog-level scan
     (_run_chunk_flat): the TPU sampler with no masked-step waste.
 
@@ -588,27 +599,41 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
         eps_keys = jax.device_put(eps_keys, sharding)
         z_inits = jax.device_put(z_inits, sharding)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    trace = bool(_os.environ.get("ANDVARANAUT_HMC_TRACE"))
+    t0 = _time.time()
     init = jax.vmap(lambda k, z: _init_chain(k, z, logp_fn, dim))
     carry = jax.vmap(_flat_carry_init)(init(eps_keys, z_inits))
+    jax.block_until_ready(carry)
+    if trace:
+        print(f"[hmc-flat] chain init (reasonable-eps search + compile) "
+              f"{_time.time() - t0:.0f}s", file=_sys.stderr, flush=True)
 
     total = num_warmup + num_samples
+    unroll = max(1, min(unroll, budget))
+    leaps_per_call = max(unroll, leaps_per_call // unroll * unroll)
+    nsteps_call = leaps_per_call // unroll
     run = jax.vmap(
         lambda c, ks: _run_chunk_flat(
             c, ks, logp_fn, num_warmup, target_accept, budget,
-            leaps_per_call),
+            leaps_per_call, unroll),
         in_axes=(0, 0))
 
     # run chunks of leapfrogs until every chain has `total` completed
     # transitions (+1 scan step commits the final trajectory)
+    t_start = _time.time()
     collected = [[] for _ in range(num_chains)]
     done = np.zeros(num_chains, dtype=int)
     max_leaps = (total + 2) * (budget + 1) * 4  # generous runaway bound
     leaps = 0
-    while done.min() < total and leaps < max_leaps:
+    while done.min() < num_samples and leaps < max_leaps:
         krun, kchunk = jax.random.split(krun)
         ks = jax.random.split(
-            kchunk, num_chains * leaps_per_call).reshape(
-            num_chains, leaps_per_call, 2)
+            kchunk, num_chains * nsteps_call).reshape(
+            num_chains, nsteps_call, 2)
         if sharding is not None:
             ks = jax.device_put(ks, sharding)
         carry, hist = run(carry, ks)
@@ -625,6 +650,11 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
         done = np.array([
             sum(len(part["lp"]) for part in collected[c])
             for c in range(num_chains)])
+        if trace:
+            print(
+                f"[hmc-flat] t={_time.time() - t_start:.0f}s "
+                f"leaps={leaps} post-warmup draws/chain min={done.min()} "
+                f"max={done.max()}", file=_sys.stderr, flush=True)
 
     def chain_stack(c, k):
         arr = np.concatenate([part[k] for part in collected[c]], axis=0)
@@ -937,9 +967,9 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
     if sampler is None:
         sampler = "hmc" if is_tpu() else "nuts"
     if sampler == "hmc" and max_treedepth == 10:
-        # HMC spends its full 2**depth budget every transition (NUTS
-        # stops adaptively); these low-dimensional hyperposteriors mix
-        # well under a 64-step jittered budget
+        # HMC trajectory lengths are jittered uniformly within the
+        # 2**depth budget (NUTS stops adaptively); these low-dimensional
+        # hyperposteriors mix well under a 64-step budget
         max_treedepth = 6
     if is_tpu() and sampler == "nuts" and draws + tune > 40:
         import warnings

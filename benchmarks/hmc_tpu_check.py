@@ -45,10 +45,11 @@ def main():
         xconrevs=[_none_conrev(), _none_conrev()],
         yconrevs=[_none_conrev()], x=X, y=y)
     spc = int(os.environ.get("HMC_SPC", 5))
+    smp = os.environ.get("HMC_SAMPLER", "hmc")  # hmc | hmc_fixed
     t0 = time.time()
     data = nuts.sample_model(
         cfg, draws=draws, tune=tune, chains=chains, random_seed=0,
-        sampler="hmc", mixed=True, verbose=False, steps_per_call=spc)
+        sampler=smp, mixed=True, verbose=False, steps_per_call=spc)
     wall = time.time() - t0
     print(f"SURVIVED: n={n} chains={chains} {tune}+{draws} in {wall:.1f}s",
           flush=True)

@@ -186,10 +186,11 @@ def test_hmc_std_normal():
                                np.ones(dim), atol=0.1)
     rhat = nuts.split_rhat(z)
     assert (rhat < 1.05).all(), rhat
-    # trajectory lengths are jittered in [1, 2**depth]
+    # trajectory lengths are jittered in [1, 2**depth], quantised to the
+    # scan's leapfrog-unroll granularity (multiples of 4)
     depth = np.asarray(res["depth"])
     assert depth.min() >= 1 and depth.max() <= 32
-    assert len(np.unique(depth)) > 10
+    assert len(np.unique(depth)) >= 6
 
 
 def test_hmc_ill_scaled_mass_adaptation():
