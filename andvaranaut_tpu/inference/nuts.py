@@ -438,9 +438,10 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
 
 
 @partial(jax.jit, static_argnames=(
-    "logp_fn", "num_warmup", "budget", "chunk", "unroll"))
+    "logp_fn", "num_warmup", "budget", "chunk", "unroll", "adapt_tlen"))
 def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
-                    budget, chunk, unroll: int = 1):
+                    budget, chunk, unroll: int = 1,
+                    adapt_tlen: bool = False):
     """Advance one chain by `chunk` LEAPFROGS (vmapped over chains by the
     caller): a flat scan over leapfrog steps with dynamic trajectory
     boundaries.
@@ -462,7 +463,21 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
     let XLA software-pipeline consecutive objective evaluations, which
     per-leapfrog bookkeeping was measured to break (32 vs 20
     ms/leapfrog at n=256 on the TPU).  `chunk` is a LEAPFROG count and
-    must be a multiple of `unroll`; `keys` has chunk/unroll rows."""
+    must be a multiple of `unroll`; `keys` has chunk/unroll rows.
+
+    adapt_tlen (EXPERIMENTAL, default OFF): ChEES-style adaptation of
+    the MEAN trajectory time during warmup (Hoffman, Radul & Sountsov
+    2021): trajectory time drawn ~ U(0, 2*tmean), log(tmean) under Adam
+    ascent on the halting-derivative estimate of the ChEES criterion
+    d/dt (|z1-zbar|^2 - |z0-zbar|^2)^2/4 = (...)*(z1-zbar)@v1, weighted
+    by the jitter fraction u and the accept probability.  MEASURED
+    PATHOLOGY: with zbar as the per-chain warmup Welford mean (the
+    paper's CROSS-chain mean is unavailable under per-chain vmap), the
+    gradient estimate is biased positive and tmean runs away to the
+    budget cap — 18x worse ESS/leapfrog than uniform jitter on an
+    ill-scaled Gaussian (min ESS 2703 -> 281 at 4x800 draws).  A
+    correct implementation needs cross-chain pooling (host-side at
+    chunk boundaries); until then uniform jitter stays the default."""
     unroll = max(1, min(unroll, budget))
 
     def U_and_grad(z):
@@ -475,7 +490,7 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
 
     def step(carry, key):
         (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0, eps_cur,
-         sdone, nsteps, tidx) = carry
+         sdone, nsteps, tidx, ch) = carry
         kmom, klen, kacc = jax.random.split(key, 3)
 
         boundary = sdone >= nsteps
@@ -488,6 +503,7 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         aprob = jnp.minimum(1.0, jnp.exp(H0 - H1))
         accept = (~diverging) & (
             jax.random.uniform(kacc, (), z.dtype) < aprob)
+        z_start = z  # trajectory start, for the ChEES gradient
         z = jnp.where(real & accept, zc, z)
         U = jnp.where(real & accept, Uc, U)
         grad = jnp.where(real & accept, gc, grad)
@@ -519,6 +535,30 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         da = jax.tree_util.tree_map(
             lambda a, b: jnp.where(apply_mass, a, b), da_reset, da)
 
+        # -- ChEES trajectory-time ascent (warmup, once zbar stabilises)
+        log_tmean, u_cur, adm, adv, adc = ch
+        if adapt_tlen:
+            zbar = welford[1]
+            d1 = zc - zbar
+            d0 = z_start - zbar
+            v1 = inv_mass * rc
+            dCdt = (jnp.sum(d1 * d1) - jnp.sum(d0 * d0)) * jnp.dot(d1, v1)
+            g = dCdt * u_cur * aprob * jnp.exp(log_tmean)  # d/dlog tmean
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            do_ad = real & in_warmup & (welford[0] > 20.0)
+            b1, b2, lr = 0.9, 0.999, 0.025
+            adc1 = adc + 1.0
+            adm1 = b1 * adm + (1.0 - b1) * g
+            adv1 = b2 * adv + (1.0 - b2) * g * g
+            mhat = adm1 / (1.0 - b1 ** adc1)
+            vhat = adv1 / (1.0 - b2 ** adc1)
+            log_new = log_tmean + lr * mhat / (jnp.sqrt(vhat) + 1e-10)
+            log_new = jnp.clip(log_new, -18.0, 18.0)
+            log_tmean = jnp.where(do_ad, log_new, log_tmean)
+            adm = jnp.where(do_ad, adm1, adm)
+            adv = jnp.where(do_ad, adv1, adv)
+            adc = jnp.where(do_ad, adc1, adc)
+
         out = {
             "z": z, "lp": -U, "accept": aprob, "diverging": diverging,
             "depth": nsteps_done.astype(jnp.int32), "eps": eps_cur,
@@ -532,8 +572,19 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
             in_warmup2, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar))
         mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
         r0 = jax.random.normal(kmom, z.shape, z.dtype) * mass_sqrt
-        nsteps_new = unroll * jax.random.randint(
-            klen, (), 1, budget // unroll + 1, dtype=jnp.int32)
+        if adapt_tlen:
+            u = jax.random.uniform(klen, (), z.dtype)
+            t_traj = 2.0 * jnp.exp(log_tmean) * u
+            ns = jnp.ceil(
+                t_traj / jnp.maximum(eps_next, 1e-12)).astype(jnp.int32)
+            if unroll > 1:
+                ns = -(-ns // unroll) * unroll
+            nsteps_new = jnp.clip(ns, unroll, budget)
+            u_cur = jnp.where(boundary, u, u_cur)
+        else:
+            nsteps_new = unroll * jax.random.randint(
+                klen, (), 1, budget // unroll + 1, dtype=jnp.int32)
+        ch = (log_tmean, u_cur, adm, adv, adc)
         zc = jnp.where(boundary, z, zc)
         rc = jnp.where(boundary, r0, rc)
         Uc = jnp.where(boundary, U, Uc)
@@ -550,27 +601,30 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         sdone = sdone + unroll
 
         carry = (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0,
-                 eps_cur, sdone, nsteps, tidx)
+                 eps_cur, sdone, nsteps, tidx, ch)
         return carry, out
 
     return jax.lax.scan(step, carry, keys)
 
 
-def _flat_carry_init(chain_init):
+def _flat_carry_init(chain_init, budget):
     """Extend an _init_chain carry with the flat-scan trajectory state:
     a zero-length 'trajectory' whose completion is a no-op, so the first
-    scan step starts trajectory 1 cleanly."""
+    scan step starts trajectory 1 cleanly.  The ChEES mean trajectory
+    time starts at the uniform-jitter mean, eps0 * budget / 2."""
     z, U, grad, da, inv_mass, welford = chain_init
     zeros = jnp.zeros_like(z)
     i0 = jnp.zeros((), jnp.int32)
+    f0 = jnp.zeros((), z.dtype)
+    ch = (da.log_eps + jnp.log(budget / 2.0), 0.5 + f0, f0, f0, f0)
     return (z, U, grad, da, inv_mass, welford, z, zeros, U, grad, U,
-            jnp.exp(da.log_eps), i0, i0, i0)
+            jnp.exp(da.log_eps), i0, i0, i0, ch)
 
 
 def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                     num_chains=4, target_accept=0.8, max_treedepth=6,
                     jitter_init=1.0, shard=True, leaps_per_call=2048,
-                    unroll=1):
+                    unroll=1, adapt_tlen=False):
     """Jittered-trajectory HMC through the flat leapfrog-level scan
     (_run_chunk_flat): the TPU sampler with no masked-step waste.
 
@@ -606,7 +660,8 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     trace = bool(_os.environ.get("ANDVARANAUT_HMC_TRACE"))
     t0 = _time.time()
     init = jax.vmap(lambda k, z: _init_chain(k, z, logp_fn, dim))
-    carry = jax.vmap(_flat_carry_init)(init(eps_keys, z_inits))
+    carry = jax.vmap(lambda c: _flat_carry_init(c, budget))(
+        init(eps_keys, z_inits))
     jax.block_until_ready(carry)
     if trace:
         print(f"[hmc-flat] chain init (reasonable-eps search + compile) "
@@ -619,7 +674,7 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     run = jax.vmap(
         lambda c, ks: _run_chunk_flat(
             c, ks, logp_fn, num_warmup, target_accept, budget,
-            leaps_per_call, unroll),
+            leaps_per_call, unroll, adapt_tlen),
         in_axes=(0, 0))
 
     # run chunks of leapfrogs until every chain has `total` completed
