@@ -106,6 +106,129 @@ def _kernel(nslices, nk, lower_only, *refs):
         lo_ref[:] = lo
 
 
+def _syrk_kernel(nslices, nk, *refs):
+    """Triangular-grid syrk tile: grid dim 0 walks a host-precomputed
+    list of lower-triangle (ti, tj) tile pairs (scalar-prefetched index
+    arrays — upper tiles are never visited, never DMA'd); grid dim 1
+    iterates k-chunks.  Same slice-pair reduction as _kernel.
+
+    refs: i_arr, j_arr (nT,) i32, rs (1,) i32 row_start — all scalar
+    prefetch — then a/b slice tiles, hi/lo outputs, int32 scratches."""
+    i_ref, j_ref, rs_ref = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+    a_refs = refs[:nslices]
+    b_refs = refs[nslices : 2 * nslices]
+    hi_ref, lo_ref = refs[2 * nslices], refs[2 * nslices + 1]
+    acc_refs = refs[2 * nslices + 2 :]
+    t = pl.program_id(0)
+    kidx = pl.program_id(1)
+    ti = i_ref[t]
+    tj = j_ref[t]
+
+    @pl.when(kidx == 0)
+    def _():
+        for acc in acc_refs:
+            acc[:] = jnp.zeros_like(acc)
+
+    # masked rows above the trailing submatrix: zero operand rows, so
+    # tiles wholly above row_start (in rows OR cols — syrk symmetry)
+    # contribute exact zeros and skip the MXU
+    active = ((ti + jnp.int32(1)) * jnp.int32(_TM) > rs_ref[0]) & (
+        (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0])
+
+    @pl.when(active)
+    def _():
+        for i in range(nslices):
+            for j in range(nslices - i):
+                p = jax.lax.dot_general(
+                    a_refs[i][:], b_refs[j][:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc_refs[i + j][:] += p
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        hi = jnp.zeros_like(hi_ref)
+        lo = jnp.zeros_like(lo_ref)
+        for s in range(nslices):
+            g = acc_refs[s][:]
+            ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
+            glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
+            w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
+            hi, lo = _two_sum(
+                hi, lo, ghi.astype(jnp.float32) * (w * 4096.0))
+            hi, lo = _two_sum(hi, lo, glo.astype(jnp.float32) * w)
+        hi_ref[:] = hi
+        lo_ref[:] = lo
+
+
+@partial(jax.jit, static_argnames=("nslices",))
+def pallas_int_slice_syrk_lower(A, nslices: int = 6, row_start=None):
+    """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
+
+    Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
+    WRITTEN — their contents are unspecified (the predicated rectangular
+    kernel merely skipped their MXU work while still streaming inputs
+    and writing zeros; here the dead half of the grid does not exist, so
+    its input DMA and sequencing vanish too).  Callers must mask the
+    output tile-triangularly before consuming it
+    (`A - where(tril_tiles, C, 0)` fuses to a single elementwise pass).
+
+    row_start: output rows AND cols below this index are zero (operand
+    rows are zero there) — tiles wholly below skip the MXU."""
+    out_dtype = A.dtype
+    m, k = A.shape
+    B = A.T
+    sA = precision._pow2_row_scales(A, axis=1)
+    sB = sA.reshape(1, -1)
+    a_sl = precision._int_slices(A / sA, nslices)
+    b_sl = [a.T for a in a_sl]
+
+    mp = -(-m // _TM) * _TM
+    kp = -(-k // _TK) * _TK
+    if (mp, kp) != (m, k):
+        a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
+        b_sl = [jnp.pad(b, ((0, kp - k), (0, mp - m))) for b in b_sl]
+    nk = kp // _TK
+    T = mp // _TM
+    pairs = [(i, j) for i in range(T) for j in range(i + 1)]
+    i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
+    j_arr = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
+    rs = jnp.asarray(
+        [0 if row_start is None else row_start], dtype=jnp.int32)
+
+    a_spec = pl.BlockSpec(
+        (_TM, _TK), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
+        memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec(
+        (_TK, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+        memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(len(pairs), nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices,
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+        ],
+    )
+    hi, lo = pl.pallas_call(
+        partial(_syrk_kernel, nslices, nk),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, mp), jnp.float32),
+            jax.ShapeDtypeStruct((mp, mp), jnp.float32),
+        ),
+        interpret=interpret_mode(),
+    )(i_arr, j_arr, rs, *a_sl, *b_sl)
+    C = hi[:m, :m].astype(out_dtype) + lo[:m, :m].astype(out_dtype)
+    return C * (sA * sB)
+
+
 @partial(jax.jit, static_argnames=("nslices", "lower_only"))
 def pallas_int_slice_matmul(A, B, nslices: int = 6,
                             lower_only: bool = False,

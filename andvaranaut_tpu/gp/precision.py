@@ -236,6 +236,31 @@ def slice_syrk(A, nslices: int = DEFAULT_NSLICES,
     return slice_matmul(A, A.T, nslices=nslices, chunk_k=chunk_k)
 
 
+#: tile size of the Pallas slice kernels — the granularity of every
+#: tile-sparsity contract (lower_only / row_start / syrk_lower)
+TILE = 256
+
+
+def slice_syrk_lower(A, nslices: int = DEFAULT_NSLICES, row_start=None):
+    """A @ A.T with only lower-triangle TILE-tiles defined.
+
+    On TPU this runs the triangular-grid Pallas kernel: the strictly-
+    upper half of the output grid does not exist (no MXU work, no input
+    DMA, no sequencing), and its entries are UNSPECIFIED — consumers
+    must fuse a tile-triangular mask (`where(tril_tiles, C, 0)`).  The
+    composed CPU path returns the full product (a valid refinement).
+    row_start marks zero operand rows: output rows/cols wholly below it
+    are additionally skipped."""
+    from .._config import is_tpu
+
+    if is_tpu():
+        from . import pallas_slicemm
+
+        return pallas_slicemm.pallas_int_slice_syrk_lower(
+            A, row_start=row_start)
+    return int_slice_matmul(A, A.T)
+
+
 def _chol_f64(A):
     return jnp.linalg.cholesky(A)
 
@@ -381,11 +406,16 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
             panel = jnp.where(
                 below, mm(cols, Linv.T, row_start=lo + block), 0.0)
             # trailing syrk is symmetric with zero rows/cols above the
-            # trailing submatrix: compute lower-triangle tiles only —
-            # this halves the factorisation's dominant MXU work (only
-            # the lower triangle of A is ever consumed)
-            A = A - mm(panel, panel.T, lower_only=True,
-                       row_start=lo + block, col_start=lo + block)
+            # trailing submatrix, and only the lower triangle of A is
+            # ever consumed: the triangular-grid kernel computes (and
+            # DMAs) lower-triangle tiles only — the dominant MXU work,
+            # input streaming and grid sequencing all halve.  The
+            # tile-triangular mask fuses into the update subtraction.
+            Csy = slice_syrk_lower(panel, nslices=nslices,
+                                   row_start=lo + block)
+            col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+            tri = (row_idx // TILE) >= (col_idx // TILE)
+            A = A - jnp.where(tri, Csy, 0.0)
         else:
             panel = jnp.where(below, mm(cols, Linv.T), 0.0)
             # trailing syrk; masked panel rows make this a no-op outside

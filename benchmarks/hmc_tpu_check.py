@@ -46,10 +46,12 @@ def main():
         yconrevs=[_none_conrev()], x=X, y=y)
     spc = int(os.environ.get("HMC_SPC", 5))
     smp = os.environ.get("HMC_SAMPLER", "hmc")  # hmc | hmc_fixed
+    depth = int(os.environ.get("HMC_DEPTH", 6))
     t0 = time.time()
     data = nuts.sample_model(
         cfg, draws=draws, tune=tune, chains=chains, random_seed=0,
-        sampler=smp, mixed=True, verbose=False, steps_per_call=spc)
+        sampler=smp, mixed=True, verbose=False, steps_per_call=spc,
+        max_treedepth=depth)
     wall = time.time() - t0
     print(f"SURVIVED: n={n} chains={chains} {tune}+{draws} in {wall:.1f}s",
           flush=True)

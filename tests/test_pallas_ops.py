@@ -72,6 +72,40 @@ def test_pallas_int_slice_matmul_predicated(rng):
     np.testing.assert_array_equal(pred, np.where(keep, dense, 0.0))
 
 
+def test_pallas_syrk_lower_triangular_grid(rng):
+    """Triangular-grid syrk kernel (interpret mode): lower-triangle
+    tiles must be bit-identical to the dense kernel's A @ A.T; tiles
+    wholly below row_start are exact zeros."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+    import jax.numpy as jnp
+
+    m = 600
+    A = rng.normal(size=(m, 280)) * np.exp(rng.normal(size=(m, 1)))
+    dense = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(A.T)))
+    low = np.asarray(pallas_slicemm.pallas_int_slice_syrk_lower(
+        jnp.asarray(A)))
+    TM = pallas_slicemm._TM
+    ti = np.arange(m)[:, None] // TM
+    tj = np.arange(m)[None, :] // TM
+    tril = ti >= tj
+    np.testing.assert_array_equal(
+        np.where(tril, low, 0.0), np.where(tril, dense, 0.0))
+
+    # row_start: masked-zero operand rows -> zero tiles skipped
+    A2 = A.copy()
+    A2[:256] = 0.0
+    low2 = np.asarray(pallas_slicemm.pallas_int_slice_syrk_lower(
+        jnp.asarray(A2), row_start=jnp.int32(256)))
+    dense2 = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A2), jnp.asarray(A2.T)))
+    keep = tril & ((ti + 1) * TM > 256) & ((tj + 1) * TM > 256)
+    np.testing.assert_array_equal(
+        np.where(keep, low2, 0.0), np.where(keep, dense2, 0.0))
+    # skipped-but-visited tiles (below row_start) come out exact zero
+    assert np.all(low2[256:512, :256] == 0.0)
+
+
 def test_slice_matmul_sparsity_flags_composed(rng):
     """The CPU/XLA-composed dispatcher path must apply the identical
     tile-granular zeroing as the Pallas kernel's predication."""
