@@ -102,14 +102,85 @@ def _dist_chol_quad(A, r, d, D: int, axis: str):
     return quad, logdet
 
 
+def _dist_chol_quad_cyclic(A, r, d, D: int, C: int, axis: str):
+    """Block-CYCLIC SPMD distributed Cholesky with fused substitution.
+
+    A: (C, mb, n) — device d's C local row blocks, local slot c holding
+    GLOBAL block g = d + c*D (n = D*C*mb); r: (C, mb) matching rhs
+    blocks.  Returns (quad, logdet), both replicated, identical in exact
+    arithmetic to `_dist_chol_quad`.
+
+    Why cyclic: under SPMD every device executes the same full-shape
+    masked program, so a block-row layout cannot shed the trailing-update
+    work of finished rows — device 0's rows finish after step 0 but the
+    uniform program keeps updating them (masked) for all D steps (~2x
+    wasted FLOPs, the distributed analogue of the single-chip masked
+    full-height levels).  In cyclic layout block g = d + c*D is finished
+    on EVERY device once g <= k, i.e. local slot c is globally dead as
+    soon as k >= c*D + D - 1 — the same step on all devices — so the
+    local row stack can be STATICALLY sliced down one slot every D steps
+    and the update work genuinely shrinks (~2x fewer FLOPs at large C).
+    Per step the wire carries one (mb, mb) psum + one (Ca, mb, mb)
+    all-gather: total O(n mb) per device, as before.
+    """
+    mb = A.shape[1]
+    nb = D * C
+    quad = jnp.zeros((), dtype=A.dtype)
+    logdet = jnp.zeros((), dtype=A.dtype)
+    drop = 0  # local slots statically removed so far (= g // D)
+    gidx = d + D * jnp.arange(C)  # global block index per original slot
+    for g in range(nb):
+        o = g % D  # owning device (static)
+        lo = g * mb
+        # at step g the owner's block g is its LOWEST unfinished slot:
+        # original slot g // D == drop, i.e. local slot 0 after shrinking
+        Agg = jax.lax.psum(
+            jnp.where(d == o, A[0][:, lo:lo + mb], 0.0), axis)
+        Lgg = jnp.linalg.cholesky(Agg)
+        rg = jax.lax.psum(jnp.where(d == o, r[0], 0.0), axis)
+        bg = jax.scipy.linalg.solve_triangular(Lgg, rg, lower=True)
+        quad = quad + jnp.dot(bg, bg)
+        logdet = logdet + jnp.sum(jnp.log(jnp.diag(Lgg)))
+        if g + 1 < nb:
+            # panels for local blocks with global index > g (the owner's
+            # own diagonal slot and any finished slot mask to zero)
+            P = jax.scipy.linalg.solve_triangular(
+                Lgg, A[:, :, lo:lo + mb].reshape(-1, mb).T,
+                lower=True).T.reshape(A.shape[0], mb, mb)
+            P = jnp.where((gidx[drop:] > g)[:, None, None], P, 0.0)
+            r = r - P @ bg
+            # gathered (D, Ca, mb, mb) -> global row order: g' = d' +
+            # (c'+drop)*D ascends in (c', d'), so transposing to
+            # (Ca, D, mb, mb) and flattening yields rows for global
+            # blocks drop*D, drop*D+1, ... in order
+            gat = jax.lax.all_gather(P, axis)
+            panel = jnp.swapaxes(gat, 0, 1).reshape(-1, mb)
+            hi = (g + 1) * mb
+            A = A.at[:, :, hi:].add(
+                -jnp.einsum("cik,jk->cij", P, panel[hi - drop * D * mb:]))
+            # static shrink: slot of global block g' is finished on EVERY
+            # device once g >= g' for all d', i.e. after step c*D + D - 1
+            # — drop the lowest remaining slot on all devices at once
+            if g % D == D - 1:
+                A = A[1:]
+                r = r[1:]
+                drop += 1
+    return quad, logdet
+
+
 def make_sharded_nlml(mesh: Mesh, kerns, ops, noise: bool,
-                      jitter: float, axis: str = "data"):
+                      jitter: float, axis: str = "data",
+                      layout: str = "row", cyc_blocks: int = 4):
     """Returns (build_rvpack, neg_log_post) where neg_log_post(z, X, y,
     rvpack) evaluates the negative log posterior with the Gram matrix AND
     its Cholesky factorisation distributed over the mesh — no device ever
     materialises the full N x N matrix.  Differentiable (reverse-mode
     through the shard_map collectives) and padded to the mesh size, so any
-    N works."""
+    N works.
+
+    layout='cyclic' distributes rows block-cyclically with `cyc_blocks`
+    blocks per device: statically-shrinking trailing updates cut ~2x of
+    the masked-update waste (see `_dist_chol_quad_cyclic`)."""
     D = mesh.shape[axis]
 
     def build_rvpack(nx: int):
@@ -141,8 +212,36 @@ def make_sharded_nlml(mesh: Mesh, kerns, ops, noise: bool,
         quad, logdet = _dist_chol_quad(K_loc, y_loc, d, D, axis)
         return -0.5 * quad - logdet - 0.5 * nreal * _LOG_2PI
 
+    def _spmd_body_cyclic(X_loc, y_loc, l, kv, alpha, gvj, nreal):
+        d = jax.lax.axis_index(axis)
+        C = cyc_blocks
+        mb = X_loc.shape[0] // C
+        nx = X_loc.shape[1]
+        X_full = jax.lax.all_gather(X_loc, axis, tiled=True)  # (n, nx)
+        y_full = jax.lax.all_gather(y_loc, axis, tiled=True)
+        gcol = jnp.arange(X_full.shape[0])
+        K_slots, r_slots = [], []
+        for c in range(C):
+            g0 = (d + c * D) * mb  # first global row of this slot
+            Xc = jax.lax.dynamic_slice(
+                X_full, (g0, jnp.int32(0)), (mb, nx))
+            grow = g0 + jnp.arange(mb)
+            Kc = kernels.gram(kerns, ops, Xc, X_full, l, kv, alpha)
+            real = (grow < nreal)[:, None] & (gcol < nreal)[None, :]
+            Kc = jnp.where(real, Kc, 0.0)
+            Kc = Kc.at[jnp.arange(mb), grow].add(
+                jnp.where(grow < nreal, gvj, 1.0))
+            K_slots.append(Kc)
+            rc = jax.lax.dynamic_slice(y_full, (g0,), (mb,))
+            r_slots.append(jnp.where(grow < nreal, rc, 0.0))
+        quad, logdet = _dist_chol_quad_cyclic(
+            jnp.stack(K_slots), jnp.stack(r_slots), d, D, C, axis)
+        return -0.5 * quad - logdet - 0.5 * nreal * _LOG_2PI
+
+    body = _spmd_body_cyclic if layout == "cyclic" else _spmd_body
+    grain = D * cyc_blocks if layout == "cyclic" else D
     spmd = jax.shard_map(
-        _spmd_body, mesh=mesh,
+        body, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(), P(), P(), P(), P()),
         out_specs=P())
 
@@ -153,7 +252,7 @@ def make_sharded_nlml(mesh: Mesh, kerns, ops, noise: bool,
         kv = vals["kv"]
         alpha = vals["alpha"][0] if "alpha" in vals else None
         n0 = X.shape[0]
-        npad = -(-n0 // D) * D
+        npad = -(-n0 // grain) * grain
         if npad != n0:
             X = jnp.pad(X, ((0, npad - n0), (0, 0)))
             y = jnp.pad(y, (0, npad - n0))

@@ -80,6 +80,31 @@ def test_sharded_nlml_padded_n(mesh):
     assert got == pytest.approx(want, rel=1e-10)
 
 
+@pytest.mark.parametrize("kernel,noise,n,C", [
+    ("RBF", True, 64, 2),
+    ("Matern52+RBF", True, 96, 4),
+    ("RBF", True, 43, 4),   # grain-indivisible N (pad to D*C)
+])
+def test_sharded_nlml_cyclic_matches_dense(mesh, kernel, noise, n, C):
+    """Block-cyclic layout with statically-shrinking trailing updates:
+    value AND gradient must match the dense single-device path."""
+    kerns, ops = kernels.parse_kernel(kernel)
+    X, y = _toy(n)
+    build_rvpack, nlp = sharded.make_sharded_nlml(
+        mesh, kerns, ops, noise, 1e-6, layout="cyclic", cyc_blocks=C)
+    rvpack = build_rvpack(X.shape[1])
+    z = rvpack.z0() + 0.1
+    got = float(nlp(z, X, y, rvpack))
+    want = float(_dense_nlp(z, X, y, rvpack, kerns, ops, noise, 1e-6))
+    assert got == pytest.approx(want, rel=1e-10)
+    g_sh = jax.grad(lambda zz: nlp(zz, X, y, rvpack))(z)
+    g_de = jax.grad(
+        lambda zz: _dense_nlp(zz, X, y, rvpack, kerns, ops, noise,
+                              1e-6))(z)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_de), rtol=1e-8, atol=1e-10)
+
+
 def test_sharded_nlml_jit_and_sharded_inputs(mesh):
     """The objective must compile under jit with device-put row-sharded
     inputs (the dryrun path) and agree with the eager value."""
