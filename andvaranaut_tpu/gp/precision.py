@@ -265,6 +265,123 @@ def _chol_f64(A):
     return jnp.linalg.cholesky(A)
 
 
+#: optional grain at which diagonal blocks recurse through the mixed
+#: blocked path instead of true emulated-f64 Cholesky (0 = disabled).
+#: The 1024-block emulated-f64 diagonal factorisations are the single
+#: most expensive stage of the 16k NLML — 1171 of 1921 ms, measured
+#: differentially by benchmarks/chol_attrib.py — and they are LATENCY-
+#: dominated (~73 ms each ~ 4.9 GFLOP/s, far under the 17-65 GFLOP/s
+#: emulated-f64 envelope).  But recursing at 256 grain REGRESSED the
+#: headline 1983 -> 2312 ms (measured on idle host): the inner per-step
+#: tri_inv/panel/syrk machinery is itself launch-bound at these sizes
+#: and costs more than the f64 chol it replaces.  Kept env-gated for
+#: re-testing if the inner launch overheads shrink.
+DIAG_BLOCK = int(_os.environ.get("ANDVARANAUT_DIAG_BLOCK", "0"))
+
+
+def _chol_diag(Ajj, mixed: bool, nslices: int):
+    """Factor a diagonal block: true f64 by default; above DIAG_BLOCK
+    grain (when enabled) the mixed right-looking recursion (mutual
+    recursion with _chol_steps terminates — the inner grain is strictly
+    smaller)."""
+    b = Ajj.shape[0]
+    if (not mixed or DIAG_BLOCK <= 0 or b <= DIAG_BLOCK
+            or b % DIAG_BLOCK):
+        return _chol_f64(Ajj)
+    A, _ = _chol_steps(Ajj, b // DIAG_BLOCK, DIAG_BLOCK, True, nslices)
+    return jnp.tril(A)
+
+
+#: f32-seeded diagonal-block Cholesky with mixed-precision Newton
+#: refinement: 0 = off, 1 = auto (TPU only — on CPU native f64 chol is
+#: fast and exact), 2 = force (CPU parity tests).  The emulated-f64
+#: chol cost is LINEAR in rows (~0.065 ms/row: 16/34/71 ms at
+#: 256/512/1024, benchmarks/f64chol_scaling.py) — a fixed ~1.06 s
+#: sequential-row tax over the 16k factorisation at ANY block size,
+#: the single largest stage of the headline NLML.  The f32 chol pays
+#: ~10x less per row, and Newton refinement restores f64 grade on the
+#: MXU (standard mixed-precision iterative refinement, cf. Higham).
+SEED_CHOL = int(_os.environ.get("ANDVARANAUT_SEED_CHOL", "1"))
+SEED_REFINE_ITERS = int(_os.environ.get("ANDVARANAUT_SEED_REFINE", "2"))
+
+
+def _pow2_sqrt_scales(v):
+    """Exact power-of-two scales ~ sqrt(v): 2^((e+1)>>1) from the f32
+    exponent field (emulated-f64 log2/exp2 are inexact on TPU; the
+    scale only needs to be an exact power of two near sqrt(v))."""
+    m32 = jnp.maximum(v.astype(jnp.float32), jnp.float32(1e-30))
+    u = jax.lax.bitcast_convert_type(m32, jnp.uint32)
+    e = ((u >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
+    eh = jnp.clip((e + 1) >> 1, -60, 60)
+    scale32 = jax.lax.bitcast_convert_type(
+        ((eh + 127).astype(jnp.uint32)) << 23, jnp.float32)
+    return scale32.astype(v.dtype)
+
+
+def _chol_inv_seeded(Ajj, nslices: int):
+    """(L, L^-1) of an SPD diagonal block via an f32 Cholesky seed and
+    mixed-precision Newton refinement on the MXU.
+
+    Equilibrate to ~unit diagonal with exact pow2 scales, factor in f32
+    (cheap), then refine L_{k+1} = L_k + L_k Phi(X0 E_k X0^T) with
+    E_k = As - L_k L_k^T in slice arithmetic and X0 the substitution
+    inverse of the seed; Phi(M) = tril(M,-1) + diag(M)/2.  Seed error
+    ~ f32eps * cond contracts quadratically then linearly (prototype:
+    residual 1e-15/2.4e-15/2.4e-13 after 2 iters at cond 1e4/1e6/1e7);
+    the inverse is Newton-corrected from X0 into the same basin (safe
+    here, unlike cold Newton inversion: the start is already within
+    ~f32eps*cond of the answer).  A residual check falls back to the
+    emulated-f64 path under lax.cond when the seed is bad (cond >~1e7
+    or non-PD in f32), so accuracy never regresses — only speed."""
+    b = Ajj.shape[0]
+    dt = Ajj.dtype
+    eye = jnp.eye(b, dtype=dt)
+    d = _pow2_sqrt_scales(jnp.diag(Ajj))
+    As = Ajj / d[:, None] / d[None, :]
+    L0 = jnp.linalg.cholesky(As.astype(jnp.float32)).astype(dt)
+    finite = jnp.isfinite(L0).all()
+    L0 = jnp.tril(jnp.where(jnp.isfinite(L0), L0, eye))
+    X0 = tri_inv_mixed(L0, nslices=nslices)
+    mm = partial(slice_matmul, nslices=nslices)
+    Ls = L0
+    E = As - mm(Ls, Ls.T)
+    for _ in range(SEED_REFINE_ITERS):
+        M = mm(X0, mm(E, X0.T))
+        Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diag(M))
+        Ls = Ls + mm(Ls, Phi)
+        E = As - mm(Ls, Ls.T)
+    good = finite & (jnp.max(jnp.abs(E)) < 1e-8)
+
+    def seeded(_):
+        Xs = X0
+        for _ in range(2):
+            Xs = Xs + mm(Xs, eye - mm(Ls, Xs))
+        return Ls * d[:, None], Xs * (1.0 / d)[None, :]
+
+    def fallback(_):
+        L = _chol_f64(Ajj)
+        return L, tri_inv_mixed(L, nslices=nslices)
+
+    return jax.lax.cond(good, seeded, fallback, None)
+
+
+def _chol_inv_diag(Ajj, mixed: bool, nslices: int):
+    """(Ljj, Ljj^-1) for one diagonal block of the blocked
+    factorisation, choosing the seeded-refined path when profitable."""
+    b = Ajj.shape[0]
+    if not mixed:
+        L = _chol_f64(Ajj)
+        return L, jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(b, dtype=Ajj.dtype), lower=True)
+    from .._config import is_tpu
+
+    use_seed = SEED_CHOL == 2 or (SEED_CHOL == 1 and is_tpu())
+    if use_seed and b >= 256 and b % 128 == 0:
+        return _chol_inv_seeded(Ajj, nslices)
+    L = _chol_diag(Ajj, mixed, nslices)
+    return L, tri_inv_mixed(L, nslices=nslices)
+
+
 def _subst_inv(L):
     """Dense lower-triangular inverse by classical forward substitution,
     row by row, in (emulated) f64 elementwise arithmetic.
@@ -391,11 +508,7 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
             # the predicated syrk below maintains only A's lower
             # triangle: rebuild the diagonal block's upper half from it
             Ajj = jnp.tril(Ajj) + jnp.tril(Ajj, -1).T
-        Ljj = _chol_f64(Ajj)
-        Linv = (
-            tri_inv_mixed(Ljj, nslices=nslices) if mixed
-            else jax.scipy.linalg.solve_triangular(
-                Ljj, jnp.eye(block, dtype=A.dtype), lower=True))
+        Ljj, Linv = _chol_inv_diag(Ajj, mixed, nslices)
         Dinv = jax.lax.dynamic_update_slice(
             Dinv, Linv[None], (j, 0, 0))
         cols = jax.lax.dynamic_slice(A, (0, lo), (m, block))
@@ -473,11 +586,7 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
             if mixed:
                 # predicated syrk levels maintain only the lower triangle
                 A = jnp.tril(A) + jnp.tril(A, -1).T
-            Ljj = _chol_f64(A)
-            Linv = (
-                tri_inv_mixed(Ljj, nslices=nslices) if mixed
-                else jax.scipy.linalg.solve_triangular(
-                    Ljj, jnp.eye(block, dtype=K.dtype), lower=True))
+            Ljj, Linv = _chol_inv_diag(A, mixed, nslices)
             L = jax.lax.dynamic_update_slice(L, Ljj, (offset, offset))
             Dparts.append(Linv[None])
             break

@@ -214,3 +214,35 @@ def test_pcg_solve_beats_refinement_floor(rng):
     x = precision.pcg_solve(K, y, L, Dinv=Dinv, block=32)
     x_ref = np.linalg.solve(np.asarray(K), np.asarray(y))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_seeded_diag_chol_parity(rng, monkeypatch):
+    """f32-seeded + Newton-refined diagonal Cholesky (the TPU default for
+    256+-grain diagonal blocks) must hold blocked-Cholesky accuracy when
+    forced on CPU (SEED_CHOL=2)."""
+    monkeypatch.setattr(precision, "SEED_CHOL", 2)
+    n = 768
+    K = _spd(n, rng, cond=1e6) + 1e-8 * np.eye(n)
+    L, Dinv = precision.blocked_cholesky(
+        jnp.asarray(K), block=256, return_inv=True)
+    L = np.asarray(L)
+    rec = np.abs(L @ L.T - K).max() / np.abs(K).max()
+    assert rec < 5e-7, rec
+    # the diagonal-block inverses feed the substitution path: check them
+    for j in range(3):
+        Lj = L[256 * j:256 * (j + 1), 256 * j:256 * (j + 1)]
+        err = np.abs(np.asarray(Dinv[j]) @ Lj - np.eye(256)).max()
+        assert err < 1e-7, (j, err)
+
+
+def test_seeded_diag_chol_fallback(rng, monkeypatch):
+    """A block too ill-conditioned for the f32 seed must trip the
+    residual check and fall back to the emulated-f64 path — accuracy
+    never regresses, only speed."""
+    monkeypatch.setattr(precision, "SEED_CHOL", 2)
+    n = 256
+    K = _spd(n, rng, cond=1e12) + 1e-14 * np.eye(n)
+    Lj, Linv = precision._chol_inv_diag(jnp.asarray(K), True, 21)
+    L0 = np.linalg.cholesky(K)
+    rel = np.abs(np.asarray(Lj) - L0).max() / np.abs(L0).max()
+    assert rel < 1e-5, rel
