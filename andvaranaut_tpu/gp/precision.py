@@ -328,18 +328,32 @@ def _chol_inv_seeded(Ajj, nslices: int):
     inverse of the seed; Phi(M) = tril(M,-1) + diag(M)/2.  Seed error
     ~ f32eps * cond contracts quadratically then linearly (prototype:
     residual 1e-15/2.4e-15/2.4e-13 after 2 iters at cond 1e4/1e6/1e7);
-    the inverse is Newton-corrected from X0 into the same basin (safe
-    here, unlike cold Newton inversion: the start is already within
-    ~f32eps*cond of the answer).  A residual check falls back to the
-    emulated-f64 path under lax.cond when the seed is bad (cond >~1e7
-    or non-PD in f32), so accuracy never regresses — only speed."""
+    The inverse is then taken by blocked SUBSTITUTION from the refined
+    factor (`tri_inv_mixed`), NOT by Newton-correcting X0.  This is a
+    hard-won constraint, not a style choice: the Newton-corrected
+    inverse converges to a ~eps_slice*|Xs| LEFT-residual (~1e-8 at cond
+    1e6) which passes any per-block residual gate — but the trailing
+    Schur update needs the substitution inverse's ~1e-10 entrywise
+    grade, because at (e.g.) a GP MAP-fit start point the trailing
+    blocks sit on an ~1e-3 noise floor under O(1)-norm panels and the
+    inverse error is amplified ~1e4x by the cancellation.  Measured on
+    TPU at 16k: the Newton inverse at block 0 (gates green: factor
+    residual 4e-10, inverse residual 9e-9) drives every later diagonal
+    block indefinite — even the f64 fallback chol NaNs from block 1 on.
+    A per-block gate cannot see this (it is a property of the global
+    matrix), so the inverse path must be substitution-grade always.
+
+    A residual check falls back to the emulated-f64 path under lax.cond
+    when the seed is bad (cond >~1e7 or non-PD in f32 — detected via
+    NaN or a collapsed seed diagonal), so accuracy never regresses —
+    only speed."""
     b = Ajj.shape[0]
     dt = Ajj.dtype
     eye = jnp.eye(b, dtype=dt)
     d = _pow2_sqrt_scales(jnp.diag(Ajj))
     As = Ajj / d[:, None] / d[None, :]
     L0 = jnp.linalg.cholesky(As.astype(jnp.float32)).astype(dt)
-    finite = jnp.isfinite(L0).all()
+    finite = jnp.isfinite(L0).all() & (jnp.min(jnp.diag(L0)) > 1e-6)
     L0 = jnp.tril(jnp.where(jnp.isfinite(L0), L0, eye))
     X0 = tri_inv_mixed(L0, nslices=nslices)
     mm = partial(slice_matmul, nslices=nslices)
@@ -350,12 +364,13 @@ def _chol_inv_seeded(Ajj, nslices: int):
         Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diag(M))
         Ls = Ls + mm(Ls, Phi)
         E = As - mm(Ls, Ls.T)
-    good = finite & (jnp.max(jnp.abs(E)) < 1e-8)
+    Xs = tri_inv_mixed(Ls, nslices=nslices)
+    Rinv = eye - mm(Ls, Xs)
+    good = (finite & jnp.isfinite(Ls).all() & jnp.isfinite(Xs).all()
+            & (jnp.max(jnp.abs(E)) < 1e-8)
+            & (jnp.max(jnp.abs(Rinv)) < 1e-6))
 
     def seeded(_):
-        Xs = X0
-        for _ in range(2):
-            Xs = Xs + mm(Xs, eye - mm(Ls, Xs))
         return Ls * d[:, None], Xs * (1.0 / d)[None, :]
 
     def fallback(_):

@@ -246,3 +246,29 @@ def test_seeded_diag_chol_fallback(rng, monkeypatch):
     L0 = np.linalg.cholesky(K)
     rel = np.abs(np.asarray(Lj) - L0).max() / np.abs(L0).max()
     assert rel < 1e-5, rel
+
+
+def test_seeded_diag_chol_f32_singular_gate(rng, monkeypatch):
+    """The 16k MAP-fit-start failure mode in miniature: a long-
+    lengthscale RBF Gram on an 8e-4 noise floor is numerically low-rank
+    — f32-marginal WITHOUT producing NaN, so the factor residual can
+    converge while the seed's inverse is garbage (the old factor-only
+    gate let this poison the 16k MAP fit on TPU).  With the inverse-
+    residual gate the seeded path must stay finite and match the
+    non-seeded factorisation's accuracy."""
+    from andvaranaut_tpu.gp import kernels
+
+    monkeypatch.setattr(precision, "SEED_CHOL", 2)
+    n = 512
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    K = kernels.gram(("RBF",), (), X, None,
+                     jnp.asarray([1.6487, 1.6487]), jnp.asarray([2.3193]),
+                     None)
+    K = K + 8.08e-4 * jnp.eye(n)
+    L, Dinv = precision.blocked_cholesky(K, block=256, return_inv=True)
+    L = np.asarray(L)
+    assert np.isfinite(L).all()
+    assert np.isfinite(np.asarray(Dinv)).all()
+    rec = np.abs(L @ L.T - np.asarray(K)).max() / float(jnp.abs(K).max())
+    assert rec < 1e-6, rec
+    assert (np.diag(L) > 0).all()
