@@ -439,7 +439,7 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
 
 @partial(jax.jit, static_argnames=(
     "logp_fn", "num_warmup", "budget", "chunk", "unroll", "adapt_tlen"))
-def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
+def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
                     budget, chunk, unroll: int = 1,
                     adapt_tlen: bool = False):
     """Advance one chain by `chunk` LEAPFROGS (vmapped over chains by the
@@ -465,19 +465,20 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
     ms/leapfrog at n=256 on the TPU).  `chunk` is a LEAPFROG count and
     must be a multiple of `unroll`; `keys` has chunk/unroll rows.
 
-    adapt_tlen (EXPERIMENTAL, default OFF): ChEES-style adaptation of
-    the MEAN trajectory time during warmup (Hoffman, Radul & Sountsov
-    2021): trajectory time drawn ~ U(0, 2*tmean), log(tmean) under Adam
-    ascent on the halting-derivative estimate of the ChEES criterion
+    adapt_tlen: ChEES-style adaptation of the MEAN trajectory time
+    during warmup (Hoffman, Radul & Sountsov 2021): trajectory time
+    drawn ~ U(0, 2*tmean), log(tmean) under Adam ascent on the
+    halting-derivative estimate of the ChEES criterion
     d/dt (|z1-zbar|^2 - |z0-zbar|^2)^2/4 = (...)*(z1-zbar)@v1, weighted
-    by the jitter fraction u and the accept probability.  MEASURED
-    PATHOLOGY: with zbar as the per-chain warmup Welford mean (the
-    paper's CROSS-chain mean is unavailable under per-chain vmap), the
-    gradient estimate is biased positive and tmean runs away to the
-    budget cap — 18x worse ESS/leapfrog than uniform jitter on an
-    ill-scaled Gaussian (min ESS 2703 -> 281 at 4x800 draws).  A
-    correct implementation needs cross-chain pooling (host-side at
-    chunk boundaries); until then uniform jitter stays the default."""
+    by the jitter fraction u and the accept probability.  `zbar` is the
+    CROSS-CHAIN mean position, computed by the caller at the previous
+    chunk boundary and held fixed through the chunk (the caller also
+    pools log_tmean across chains between chunks).  An earlier variant
+    used the per-chain warmup Welford mean instead — its correlation
+    with the chain's own history biases the gradient positive and tmean
+    ran away to the budget cap (18x worse ESS/leapfrog than uniform
+    jitter on an ill-scaled Gaussian); the paper's cross-chain mean is
+    essential.  Ignored (pass zeros) when adapt_tlen=False."""
     unroll = max(1, min(unroll, budget))
 
     def U_and_grad(z):
@@ -485,8 +486,15 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         return -lp, -g
 
     w_start = jnp.asarray(int(0.15 * num_warmup))
+    # With trajectory-time adaptation the mass matrix must land EARLY:
+    # ChEES learns tmean for the CURRENT metric, and the optimum shifts
+    # by orders of magnitude when the mass applies — it needs the tail
+    # of warmup to re-adapt in the final metric (measured: a 0.95 apply
+    # point leaves tmean tuned for the unwhitened target and ESS 3-5x
+    # WORSE than uniform jitter; 0.6 leaves 40% to re-learn).
+    w_frac = 0.6 if adapt_tlen else 0.95
     w_end = jnp.asarray(
-        max(int(0.95 * num_warmup), int(0.15 * num_warmup) + 1))
+        max(int(w_frac * num_warmup), int(0.15 * num_warmup) + 1))
 
     def step(carry, key):
         (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0, eps_cur,
@@ -538,7 +546,15 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         # -- ChEES trajectory-time ascent (warmup, once zbar stabilises)
         log_tmean, u_cur, adm, adv, adc = ch
         if adapt_tlen:
-            zbar = welford[1]
+            # the metric just changed: everything learned about tmean is
+            # for the OLD metric — restart from the uniform-jitter mean
+            # with fresh Adam moments
+            eps_now = jnp.exp(da.log_eps)
+            log_reset = jnp.log(eps_now * (budget / 4.0))
+            log_tmean = jnp.where(apply_mass, log_reset, log_tmean)
+            adm = jnp.where(apply_mass, 0.0, adm)
+            adv = jnp.where(apply_mass, 0.0, adv)
+            adc = jnp.where(apply_mass, 0.0, adc)
             d1 = zc - zbar
             d0 = z_start - zbar
             v1 = inv_mass * rc
@@ -574,7 +590,14 @@ def _run_chunk_flat(carry, keys, logp_fn, num_warmup, target_accept,
         r0 = jax.random.normal(kmom, z.shape, z.dtype) * mass_sqrt
         if adapt_tlen:
             u = jax.random.uniform(klen, (), z.dtype)
-            t_traj = 2.0 * jnp.exp(log_tmean) * u
+            # tmean the budget cannot draw is unlearnable: clamp the
+            # DRAW (not the learned value) so that 2*tmean <= budget*eps
+            # — at the clamp ChEES degenerates to uniform jitter instead
+            # of saturating every trajectory at the cap
+            lt_draw = jnp.minimum(
+                log_tmean,
+                jnp.log(jnp.maximum(eps_next, 1e-12) * (budget / 2.0)))
+            t_traj = 2.0 * jnp.exp(lt_draw) * u
             ns = jnp.ceil(
                 t_traj / jnp.maximum(eps_next, 1e-12)).astype(jnp.int32)
             if unroll > 1:
@@ -672,10 +695,11 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     leaps_per_call = max(unroll, leaps_per_call // unroll * unroll)
     nsteps_call = leaps_per_call // unroll
     run = jax.vmap(
-        lambda c, ks: _run_chunk_flat(
-            c, ks, logp_fn, num_warmup, target_accept, budget,
+        lambda c, ks, zb: _run_chunk_flat(
+            c, ks, zb, logp_fn, num_warmup, target_accept, budget,
             leaps_per_call, unroll, adapt_tlen),
-        in_axes=(0, 0))
+        in_axes=(0, 0, None))
+    zbar = jnp.mean(z_inits, axis=0)
 
     # run chunks of leapfrogs until every chain has `total` completed
     # transitions (+1 scan step commits the final trajectory)
@@ -691,8 +715,19 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
             num_chains, nsteps_call, 2)
         if sharding is not None:
             ks = jax.device_put(ks, sharding)
-        carry, hist = run(carry, ks)
+        carry, hist = run(carry, ks, zbar)
         leaps += leaps_per_call
+        if adapt_tlen:
+            # cross-chain pooling at the chunk boundary (the ChEES
+            # criterion is defined against the ACROSS-chain mean; the
+            # shared tmean keeps chains on one trajectory distribution)
+            zbar = jnp.mean(carry[0], axis=0)
+            ch = carry[15]
+            lt_pool = jnp.broadcast_to(
+                jnp.mean(ch[0]), ch[0].shape)
+            if sharding is not None:
+                lt_pool = jax.device_put(lt_pool, sharding)
+            carry = carry[:15] + ((lt_pool,) + ch[1:],)
         real = np.asarray(hist["real"])
         tidx = np.asarray(hist["tidx"])
         for c in range(num_chains):
@@ -711,6 +746,9 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                 f"leaps={leaps} post-warmup draws/chain min={done.min()} "
                 f"max={done.max()}", file=_sys.stderr, flush=True)
 
+    # debugging hook: final sampler state (adaptation diagnostics)
+    hmc_flat_sample._last_carry = carry
+
     def chain_stack(c, k):
         arr = np.concatenate([part[k] for part in collected[c]], axis=0)
         return arr[:num_samples]
@@ -726,7 +764,7 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
 def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                 num_chains=4, target_accept=0.8, max_treedepth=10,
                 jitter_init=1.0, shard=True, steps_per_call=100,
-                sampler="nuts"):
+                sampler="nuts", adapt_tlen=True):
     """Run `num_chains` adaptive NUTS (or jittered-HMC) chains, vmapped
     and (optionally) sharded over available devices.
 
@@ -741,6 +779,12 @@ def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     mode with no masked-step waste, see _run_chunk_flat), or
     'hmc_fixed' (the padded fixed-budget transition, kept for A/B).
     Trajectory budget for both HMC modes is 2**max_treedepth leapfrogs.
+    adapt_tlen (sampler='hmc' only): ChEES-style warmup adaptation of
+    the mean trajectory time (cross-chain pooled; _run_chunk_flat).
+    Default ON — measured 7x ESS/leapfrog over plain uniform jitter on
+    a GP hyperposterior (typical learned length ~4 leapfrogs vs the
+    budget-uniform mean of budget/2), parity on an adversarial
+    ill-scaled Gaussian.  Pass False for the plain jitter.
     Returns dict of stacked arrays with leading (chains, draws).
     """
     if sampler == "hmc":
@@ -750,7 +794,8 @@ def nuts_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
             num_samples=num_samples, num_chains=num_chains,
             target_accept=target_accept, max_treedepth=max_treedepth,
             jitter_init=jitter_init, shard=shard,
-            leaps_per_call=max(256, steps_per_call * (budget + 1) // 2))
+            leaps_per_call=max(256, steps_per_call * (budget + 1) // 2),
+            adapt_tlen=adapt_tlen)
     if sampler == "hmc_fixed":
         sampler = "hmc"  # the padded per-transition path below
     dim = int(np.asarray(z0).shape[0])
@@ -953,7 +998,7 @@ class MCMCData:
 def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
                   z0=None, verbose=False, sampler=None,
-                  steps_per_call=100) -> "MCMCData":
+                  steps_per_call=100, adapt_tlen=True) -> "MCMCData":
     """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
     into constrained posterior arrays.
 
@@ -977,7 +1022,7 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
         logp, z0, key=jax.random.PRNGKey(random_seed), num_warmup=tune,
         num_samples=draws, num_chains=chains, target_accept=target_accept,
         max_treedepth=max_treedepth, sampler=sampler,
-        steps_per_call=steps_per_call)
+        steps_per_call=steps_per_call, adapt_tlen=adapt_tlen)
     zdraws = np.asarray(res["z"])  # (chains, draws, dim)
     posterior = {}
     for rv, off in zip(rvpack.rvs, rvpack.offsets):
@@ -999,7 +1044,8 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
 
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
                  random_seed=0, max_treedepth=10, verbose=False,
-                 mixed=None, sampler=None, steps_per_call=100, **kwargs):
+                 mixed=None, sampler=None, steps_per_call=100,
+                 adapt_tlen=True, **kwargs):
     """NUTS/HMC posterior over a FitConfig's hyperparameters — the
     engine-level analogue of pm.sample inside __fit (gpmcmc.py:351).
 
@@ -1069,4 +1115,5 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         rvpack, nlp, draws=draws, tune=tune, chains=chains,
         target_accept=target_accept, random_seed=random_seed,
         max_treedepth=max_treedepth, z0=z0, verbose=verbose,
-        sampler=sampler, steps_per_call=steps_per_call)
+        sampler=sampler, steps_per_call=steps_per_call,
+        adapt_tlen=adapt_tlen)

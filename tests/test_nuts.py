@@ -206,6 +206,31 @@ def test_hmc_ill_scaled_mass_adaptation():
     np.testing.assert_allclose(z.std(axis=0), np.asarray(scales), rtol=0.15)
 
 
+def test_hmc_chees_trajectory_adaptation():
+    """Cross-chain ChEES trajectory-time adaptation (the sampler='hmc'
+    default): correct posterior on an ill-scaled Gaussian, and the
+    learned mean trajectory length must neither run away to the budget
+    cap (the round-2 per-chain-mean pathology) nor collapse to 1."""
+    dim = 6
+    scales = jnp.asarray(np.logspace(0, 1.2, dim))
+
+    def logp(z):
+        return -0.5 * jnp.sum((z / scales) ** 2)
+
+    budget = 2 ** 6
+    res = nuts.hmc_flat_sample(
+        logp, jnp.zeros(dim), key=jax.random.PRNGKey(3), num_warmup=800,
+        num_samples=800, num_chains=4, max_treedepth=6,
+        leaps_per_call=2048, adapt_tlen=True)
+    z = np.asarray(res["z"])
+    np.testing.assert_allclose(
+        z.reshape(-1, dim).std(axis=0), np.asarray(scales), rtol=0.2)
+    rhat = nuts.split_rhat(z)
+    assert (rhat < 1.05).all(), rhat
+    mean_len = np.asarray(res["depth"]).mean()
+    assert 1.5 < mean_len < 0.85 * budget, mean_len
+
+
 def test_hmc_gp_posterior_matches_nuts(rng):
     """sampler='hmc' through sample_model agrees with NUTS on a GP
     hyperposterior (the TPU fallback must be a correct sampler, not just
