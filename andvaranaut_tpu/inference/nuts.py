@@ -485,16 +485,27 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
         lp, g = jax.value_and_grad(logp_fn)(z)
         return -lp, -g
 
-    w_start = jnp.asarray(int(0.15 * num_warmup))
+    w_start_i = int(0.15 * num_warmup)
+    w_start = jnp.asarray(w_start_i)
     # With trajectory-time adaptation the mass matrix must land EARLY:
     # ChEES learns tmean for the CURRENT metric, and the optimum shifts
     # by orders of magnitude when the mass applies — it needs the tail
     # of warmup to re-adapt in the final metric (measured: a 0.95 apply
     # point leaves tmean tuned for the unwhitened target and ESS 3-5x
-    # WORSE than uniform jitter; 0.6 leaves 40% to re-learn).
-    w_frac = 0.6 if adapt_tlen else 0.95
-    w_end = jnp.asarray(
-        max(int(w_frac * num_warmup), int(0.15 * num_warmup) + 1))
+    # WORSE than uniform jitter; 0.6 leaves 40% to re-learn).  Staged
+    # Stan-style windows (apply at 0.4/0.7 or 0.4/0.6/0.8, resetting
+    # ChEES each time) were A/B'd on the n=128 GP hyperposterior and
+    # REJECTED: every extra reset restarts the trajectory-time descent
+    # and the shorter final window leaves it stranded near the reset
+    # point (GP ESS/leapfrog win 7x -> 1.4-2.3x, the Adam second-moment
+    # transient after a reset stalls progress); carrying tmean across
+    # applies instead loses the ill-scaled-Gaussian robustness.  The
+    # single 0.6 window wins on the production workload.
+    if adapt_tlen:
+        w_ends = [max(int(0.6 * num_warmup), w_start_i + 1)]
+    else:
+        w_ends = [max(int(0.95 * num_warmup), w_start_i + 1)]
+    w_end = jnp.asarray(w_ends[-1])
 
     def step(carry, key):
         (z, U, grad, da, inv_mass, welford, zc, rc, Uc, gc, H0, eps_cur,
@@ -534,7 +545,10 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
             jnp.where(in_window, mean1, mean),
             jnp.where(in_window, m2_1, m2),
         )
-        apply_mass = real & (tidx == w_end)
+        is_end = jnp.zeros((), bool)
+        for e in w_ends:
+            is_end = is_end | (tidx == e)
+        apply_mass = real & is_end
         cnt = jnp.maximum(welford[0], 1.0)
         var = welford[2] / cnt
         var_reg = (cnt / (cnt + 5.0)) * var + 1e-3 * (5.0 / (cnt + 5.0))
@@ -542,13 +556,19 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
         da_reset = _da_init(jnp.exp(da.log_eps))
         da = jax.tree_util.tree_map(
             lambda a, b: jnp.where(apply_mass, a, b), da_reset, da)
+        # staged windows: the accumulator restarts in the new metric
+        welford = jax.tree_util.tree_map(
+            lambda w: jnp.where(apply_mass, jnp.zeros_like(w), w),
+            welford)
 
         # -- ChEES trajectory-time ascent (warmup, once zbar stabilises)
         log_tmean, u_cur, adm, adv, adc = ch
         if adapt_tlen:
-            # the metric just changed: everything learned about tmean is
-            # for the OLD metric — restart from the uniform-jitter mean
-            # with fresh Adam moments
+            # the metric just changed: everything learned about tmean
+            # is for the OLD metric — restart from the uniform-jitter
+            # mean with fresh Adam moments (carrying tmean across
+            # applies was A/B'd and loses when the metric legitimately
+            # moves at the later applies).
             eps_now = jnp.exp(da.log_eps)
             log_reset = jnp.log(eps_now * (budget / 4.0))
             log_tmean = jnp.where(apply_mass, log_reset, log_tmean)

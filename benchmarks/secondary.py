@@ -47,7 +47,8 @@ def bench_predict(n_train=512, n_pred=10000, nx=2):
           f"n_pred={n_pred} (compile {t_compile:.0f}s)")
 
 
-def bench_nuts(n=256, chains=8, draws=500, tune=500, sampler=None):
+def bench_nuts(n=256, chains=8, draws=500, tune=500, sampler=None,
+               adapt_tlen=True):
     if sampler != "hmc" and jax.default_backend() not in ("cpu", "gpu"):
         # Documented platform cap (docs/TPU_NOTES.md + nuts_tpu_repro.py):
         # GP-objective NUTS beyond ~60 transitions crashes this TPU
@@ -68,12 +69,14 @@ def bench_nuts(n=256, chains=8, draws=500, tune=500, sampler=None):
     t0 = time.time()
     data = nuts.sample_model(
         cfg, draws=draws, tune=tune, chains=chains, random_seed=0,
-        sampler=sampler,
+        sampler=sampler, adapt_tlen=adapt_tlen,
         steps_per_call=5 if jax.default_backend() == "tpu" else 100)
     wall = time.time() - t0
     ess = {k: np.min(np.atleast_1d(v)) for k, v in data.ess().items()}
     min_ess = min(ess.values())
-    name = sampler or "nuts"
+    name = (sampler or "nuts") + (
+        "" if sampler != "hmc" else
+        ("+chees" if adapt_tlen else "+jitter"))
     print(f"{name}: {chains} chains x {draws} draws (+{tune} tune) on "
           f"n={n} GP posterior: {wall:.1f}s wall (incl compile), "
           f"min ESS {min_ess:.0f} -> {min_ess / wall:.1f} ESS/s; "
@@ -87,10 +90,12 @@ if __name__ == "__main__":
     if which in ("all", "nuts"):
         bench_nuts()
     if which == "hmc":
-        # the TPU-safe GP MCMC measurement (docs/TPU_NOTES.md)
+        # the TPU-safe GP MCMC measurement (docs/TPU_NOTES.md);
+        # MCMC_ADAPT_TLEN=0 measures the plain uniform-jitter variant
         bench_nuts(
             n=int(os.environ.get("MCMC_N", 256)),
             chains=int(os.environ.get("MCMC_CHAINS", 8)),
             draws=int(os.environ.get("MCMC_DRAWS", 300)),
             tune=int(os.environ.get("MCMC_TUNE", 300)),
-            sampler="hmc")
+            sampler="hmc",
+            adapt_tlen=os.environ.get("MCMC_ADAPT_TLEN", "1") != "0")
