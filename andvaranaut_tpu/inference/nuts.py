@@ -27,6 +27,12 @@ import numpy as np
 
 _MAX_DELTA_ENERGY = 1000.0
 
+# experimental A/B switch: sign-normalised ChEES gradient (read at
+# trace time; see _run_chunk_flat)
+import os as _os
+
+_CHEES_SIGN = _os.environ.get("ANDVARANAUT_CHEES_SIGN", "0") != "0"
+
 
 class _DAState(NamedTuple):
     """Dual-averaging state (Hoffman & Gelman 2014, §3.2)."""
@@ -502,7 +508,10 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
     # applies instead loses the ill-scaled-Gaussian robustness.  The
     # single 0.6 window wins on the production workload.
     if adapt_tlen:
-        w_ends = [max(int(0.6 * num_warmup), w_start_i + 1)]
+        fr = _os.environ.get("ANDVARANAUT_CHEES_WINDOWS", "0.6")
+        w_ends = sorted({
+            max(int(float(f) * num_warmup), w_start_i + 1)
+            for f in fr.split(",")})
     else:
         w_ends = [max(int(0.95 * num_warmup), w_start_i + 1)]
     w_end = jnp.asarray(w_ends[-1])
@@ -581,6 +590,11 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
             dCdt = (jnp.sum(d1 * d1) - jnp.sum(d0 * d0)) * jnp.dot(d1, v1)
             g = dCdt * u_cur * aprob * jnp.exp(log_tmean)  # d/dlog tmean
             g = jnp.where(jnp.isfinite(g), g, 0.0)
+            if _CHEES_SIGN:
+                # experimental: sign-normalised gradient — immune to the
+                # heavy-tailed dCdt magnitudes that inflate Adam's
+                # second moment and stall the descent
+                g = jnp.sign(g)
             do_ad = real & in_warmup & (welford[0] > 20.0)
             b1, b2, lr = 0.9, 0.999, 0.025
             adc1 = adc + 1.0
