@@ -163,8 +163,17 @@ def _syrk_kernel(nslices, nk, *refs):
         lo_ref[:] = lo
 
 
+def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
+                                row_start=None):
+    """See _pallas_int_slice_syrk_lower; resolves the configurable slice
+    count OUTSIDE the jit so it is the compile-cache key."""
+    return _pallas_int_slice_syrk_lower(
+        A, nslices=precision.INT_NSLICES if nslices is None else nslices,
+        row_start=row_start)
+
+
 @partial(jax.jit, static_argnames=("nslices",))
-def pallas_int_slice_syrk_lower(A, nslices: int = 6, row_start=None):
+def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None):
     """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
 
     Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
@@ -229,10 +238,20 @@ def pallas_int_slice_syrk_lower(A, nslices: int = 6, row_start=None):
     return C * (sA * sB)
 
 
-@partial(jax.jit, static_argnames=("nslices", "lower_only"))
-def pallas_int_slice_matmul(A, B, nslices: int = 6,
+def pallas_int_slice_matmul(A, B, nslices: int | None = None,
                             lower_only: bool = False,
                             row_start=None, col_start=None):
+    """See _pallas_int_slice_matmul; resolves the configurable slice
+    count OUTSIDE the jit so it is the compile-cache key."""
+    return _pallas_int_slice_matmul(
+        A, B, nslices=precision.INT_NSLICES if nslices is None else nslices,
+        lower_only=lower_only, row_start=row_start, col_start=col_start)
+
+
+@partial(jax.jit, static_argnames=("nslices", "lower_only"))
+def _pallas_int_slice_matmul(A, B, nslices: int,
+                             lower_only: bool = False,
+                             row_start=None, col_start=None):
     """C = A @ B via the fused integer-Ozaki Pallas kernel.
 
     Same scaling/slicing as precision.int_slice_matmul; the pair-product

@@ -28,6 +28,18 @@ import numpy as np
 DEFAULT_NSLICES = 4
 DEFAULT_CHUNK_K = 512
 
+#: int8-Ozaki mantissa slice count (the MXU work scales with the
+#: ns(ns+1)/2 slice-pair products: 6 -> 21 pairs at ~4e-11 product
+#: grade, 5 -> 15 pairs at ~5e-9).  5 was A/B'd as a -29%-MXU-work
+#: candidate and REJECTED: the blocked factorisation NaNs at n=2048
+#: (the trailing-update cancellation amplifies the 5e-9 product error
+#: into the ~1e-4 Schur diagonals — the 6-slice grade is load-bearing,
+#: exactly the accuracy-ladder argument).  Env knob kept for re-testing
+#: on better-conditioned problems.
+import os as _os_ns
+
+INT_NSLICES = int(_os_ns.environ.get("ANDVARANAUT_INT_NSLICES", "6"))
+
 # Diagonal-block triangular-inverse tuning (read at trace time).  The
 # per-factorisation-step inverse is launch-bound: its blocked substitution
 # runs ~6 tiny slice matmuls per sub-block step, so a larger base and
@@ -105,8 +117,15 @@ def _int_slices(As, nslices: int):
     return slices
 
 
+def int_slice_matmul(A, B, nslices: int | None = None):
+    """See _int_slice_matmul; resolves the configurable default OUTSIDE
+    the jit so the slice count is the compile-cache key."""
+    return _int_slice_matmul(
+        A, B, nslices=INT_NSLICES if nslices is None else nslices)
+
+
 @partial(jax.jit, static_argnames=("nslices",))
-def int_slice_matmul(A, B, nslices: int = 6):
+def _int_slice_matmul(A, B, nslices: int):
     """C = A @ B via the integer Ozaki scheme: power-of-two row/col
     scaling, int8 mantissa slices, and EXACT int32 accumulation on the
     MXU.  Product accuracy ~2^-40 relative — accurate enough that the
