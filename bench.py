@@ -97,7 +97,27 @@ def cpu_nlml(n):
     return time.time() - t0, val
 
 
+def _backend_watchdog(timeout_s: int = 900):
+    """Fail loudly instead of hanging forever when the remote TPU
+    service is wedged (observed: jax.devices() blocks indefinitely).
+    SIGALRM fires only if backend init has not completed in time."""
+    import signal
+
+    def _alarm(signum, frame):
+        print(
+            "# bench: TPU backend initialisation exceeded "
+            f"{timeout_s}s (remote service unresponsive) — aborting",
+            file=sys.stderr, flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout_s)
+    jax.devices()  # forces backend init
+    signal.alarm(0)
+
+
 def main():
+    _backend_watchdog()
     dt_tpu, val_tpu, t_compile = tpu_nlml(N)
     dt_cpu, val_cpu = cpu_nlml(N)
     rel_err = abs(val_tpu - val_cpu) / abs(val_cpu)
