@@ -36,9 +36,9 @@ DEFAULT_CHUNK_K = 512
 #: into the ~1e-4 Schur diagonals — the 6-slice grade is load-bearing,
 #: exactly the accuracy-ladder argument).  Env knob kept for re-testing
 #: on better-conditioned problems.
-import os as _os_ns
+import os as _os
 
-INT_NSLICES = int(_os_ns.environ.get("ANDVARANAUT_INT_NSLICES", "6"))
+INT_NSLICES = int(_os.environ.get("ANDVARANAUT_INT_NSLICES", "6"))
 
 # Diagonal-block triangular-inverse tuning (read at trace time).  The
 # per-factorisation-step inverse is launch-bound: its blocked substitution
@@ -57,8 +57,6 @@ INV_SOLVE_ITERS = 2
 # kernel's tile predication (row/col_start + lower_only) now skips the
 # masked rows and the upper triangle on the MXU, the level shrinking
 # only saves elementwise A-update bandwidth, not matmul FLOPs.
-import os as _os
-
 CHOL_SHRINK = int(_os.environ.get("ANDVARANAUT_CHOL_SHRINK", "4"))
 
 

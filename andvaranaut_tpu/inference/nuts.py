@@ -27,11 +27,7 @@ import numpy as np
 
 _MAX_DELTA_ENERGY = 1000.0
 
-# experimental A/B switch: sign-normalised ChEES gradient (read at
-# trace time; see _run_chunk_flat)
 import os as _os
-
-_CHEES_SIGN = _os.environ.get("ANDVARANAUT_CHEES_SIGN", "0") != "0"
 
 
 class _DAState(NamedTuple):
@@ -444,10 +440,12 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
 
 
 @partial(jax.jit, static_argnames=(
-    "logp_fn", "num_warmup", "budget", "chunk", "unroll", "adapt_tlen"))
+    "logp_fn", "num_warmup", "budget", "chunk", "unroll", "adapt_tlen",
+    "w_fracs", "chees_sign"))
 def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
                     budget, chunk, unroll: int = 1,
-                    adapt_tlen: bool = False):
+                    adapt_tlen: bool = False, w_fracs=(0.6,),
+                    chees_sign: bool = False):
     """Advance one chain by `chunk` LEAPFROGS (vmapped over chains by the
     caller): a flat scan over leapfrog steps with dynamic trajectory
     boundaries.
@@ -508,10 +506,9 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
     # applies instead loses the ill-scaled-Gaussian robustness.  The
     # single 0.6 window wins on the production workload.
     if adapt_tlen:
-        fr = _os.environ.get("ANDVARANAUT_CHEES_WINDOWS", "0.6")
         w_ends = sorted({
             max(int(float(f) * num_warmup), w_start_i + 1)
-            for f in fr.split(",")})
+            for f in w_fracs})
     else:
         w_ends = [max(int(0.95 * num_warmup), w_start_i + 1)]
     w_end = jnp.asarray(w_ends[-1])
@@ -574,10 +571,11 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
         log_tmean, u_cur, adm, adv, adc = ch
         if adapt_tlen:
             # the metric just changed: everything learned about tmean
-            # is for the OLD metric — restart from the uniform-jitter
-            # mean with fresh Adam moments (carrying tmean across
-            # applies was A/B'd and loses when the metric legitimately
-            # moves at the later applies).
+            # is for the OLD metric — restart at HALF the uniform-jitter
+            # mean (eps*budget/4; a mild shortward bias toward the
+            # typical post-whitening optimum) with fresh Adam moments
+            # (carrying tmean across applies was A/B'd and loses when
+            # the metric legitimately moves at the later applies).
             eps_now = jnp.exp(da.log_eps)
             log_reset = jnp.log(eps_now * (budget / 4.0))
             log_tmean = jnp.where(apply_mass, log_reset, log_tmean)
@@ -590,12 +588,17 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
             dCdt = (jnp.sum(d1 * d1) - jnp.sum(d0 * d0)) * jnp.dot(d1, v1)
             g = dCdt * u_cur * aprob * jnp.exp(log_tmean)  # d/dlog tmean
             g = jnp.where(jnp.isfinite(g), g, 0.0)
-            if _CHEES_SIGN:
+            if chees_sign:
                 # experimental: sign-normalised gradient — immune to the
                 # heavy-tailed dCdt magnitudes that inflate Adam's
                 # second moment and stall the descent
                 g = jnp.sign(g)
-            do_ad = real & in_warmup & (welford[0] > 20.0)
+            # grace period for zbar to stabilise; NOT the Welford count
+            # (that is zeroed at each mass apply, which would freeze
+            # adaptation for the rest of warmup — regression caught by
+            # review: the 7x ESS/leapfrog win silently reverted to
+            # fixed-length jitter at the reset constant)
+            do_ad = real & in_warmup & (tidx > w_start + 20)
             b1, b2, lr = 0.9, 0.999, 0.025
             adc1 = adc + 1.0
             adm1 = b1 * adm + (1.0 - b1) * g
@@ -710,7 +713,6 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
         eps_keys = jax.device_put(eps_keys, sharding)
         z_inits = jax.device_put(z_inits, sharding)
 
-    import os as _os
     import sys as _sys
     import time as _time
 
@@ -728,10 +730,16 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     unroll = max(1, min(unroll, budget))
     leaps_per_call = max(unroll, leaps_per_call // unroll * unroll)
     nsteps_call = leaps_per_call // unroll
+    # env knobs resolved OUTSIDE the jit so they are compile-cache keys
+    # (an in-process A/B that changes them must not reuse stale programs)
+    w_fracs = tuple(
+        float(f) for f in
+        _os.environ.get("ANDVARANAUT_CHEES_WINDOWS", "0.6").split(","))
+    chees_sign = _os.environ.get("ANDVARANAUT_CHEES_SIGN", "0") != "0"
     run = jax.vmap(
         lambda c, ks, zb: _run_chunk_flat(
             c, ks, zb, logp_fn, num_warmup, target_accept, budget,
-            leaps_per_call, unroll, adapt_tlen),
+            leaps_per_call, unroll, adapt_tlen, w_fracs, chees_sign),
         in_axes=(0, 0, None))
     zbar = jnp.mean(z_inits, axis=0)
 
@@ -780,8 +788,10 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
                 f"leaps={leaps} post-warmup draws/chain min={done.min()} "
                 f"max={done.max()}", file=_sys.stderr, flush=True)
 
-    # debugging hook: final sampler state (adaptation diagnostics)
-    hmc_flat_sample._last_carry = carry
+    # debugging hook: final sampler state (adaptation diagnostics) —
+    # host copies, so no device buffers stay pinned after sampling
+    hmc_flat_sample._last_carry = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if hasattr(a, "shape") else a, carry)
 
     def chain_stack(c, k):
         arr = np.concatenate([part[k] for part in collected[c]], axis=0)

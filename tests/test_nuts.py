@@ -229,6 +229,14 @@ def test_hmc_chees_trajectory_adaptation():
     assert (rhat < 1.05).all(), rhat
     mean_len = np.asarray(res["depth"]).mean()
     assert 1.5 < mean_len < 0.85 * budget, mean_len
+    # adaptation must actually RUN through the whole warmup — a frozen
+    # tmean (e.g. a gate tied to state that a mass apply resets) still
+    # samples correctly and passes the band above, so pin the Adam step
+    # counter.  It is reset at the 0.6*warmup mass apply by design, so
+    # the final count must be ~the post-apply warmup transitions
+    # (0.4 * 800 = 320 here); the freeze regression gives exactly 0.
+    adc = np.asarray(nuts.hmc_flat_sample._last_carry[15][4])
+    assert (adc > 0.3 * 800).all(), adc
 
 
 def test_hmc_gp_posterior_matches_nuts(rng):
