@@ -97,23 +97,27 @@ def cpu_nlml(n):
     return time.time() - t0, val
 
 
-def _backend_watchdog(timeout_s: int = 900):
+def _backend_watchdog(
+        timeout_s: int = int(os.environ.get("BENCH_INIT_TIMEOUT", 900))):
     """Fail loudly instead of hanging forever when the remote TPU
-    service is wedged (observed: jax.devices() blocks indefinitely).
-    SIGALRM fires only if backend init has not completed in time."""
-    import signal
+    service is wedged (observed: jax.devices() blocks indefinitely
+    inside the C++ plugin, where a Python signal handler can never run
+    — only a separate thread can still act).  A daemon timer hard-exits
+    if backend init has not completed in time."""
+    import threading
 
-    def _alarm(signum, frame):
+    def _abort():
         print(
             "# bench: TPU backend initialisation exceeded "
             f"{timeout_s}s (remote service unresponsive) — aborting",
             file=sys.stderr, flush=True)
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(timeout_s)
-    jax.devices()  # forces backend init
-    signal.alarm(0)
+    timer = threading.Timer(timeout_s, _abort)
+    timer.daemon = True
+    timer.start()
+    jax.devices()  # forces backend init; blocks in C++ when wedged
+    timer.cancel()
 
 
 def main():
