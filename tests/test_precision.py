@@ -272,3 +272,22 @@ def test_seeded_diag_chol_f32_singular_gate(rng, monkeypatch):
     rec = np.abs(L @ L.T - np.asarray(K)).max() / float(jnp.abs(K).max())
     assert rec < 1e-6, rec
     assert (np.diag(L) > 0).all()
+
+
+@pytest.mark.parametrize("cond", [1e2, 1e4, 1e6, 1e8, 1e10])
+def test_seeded_chol_condition_sweep(rng, monkeypatch, cond):
+    """Seeded-path robustness across conditioning: for every condition
+    number the factorisation must stay finite and reconstruct K — via
+    the refined seed where it is good, via the residual-gated f64
+    fallback where it is not (cond >~1e7 exceeds the f32 seed's range).
+    The gate logic, not the happy path, is what this pins."""
+    monkeypatch.setattr(precision, "SEED_CHOL", 2)
+    n = 512
+    K = jnp.asarray(_spd(n, rng, cond=cond) + np.eye(n) * (1.0 / cond))
+    L, Dinv = precision.blocked_cholesky(K, block=256, return_inv=True)
+    L = np.asarray(L)
+    assert np.isfinite(L).all()
+    assert (np.diag(L) > 0).all()
+    assert np.isfinite(np.asarray(Dinv)).all()
+    rec = np.abs(np.tril(L) @ np.tril(L).T - np.asarray(K)).max()
+    assert rec / float(jnp.abs(K).max()) < 5e-7, rec
