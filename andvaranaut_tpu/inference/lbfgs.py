@@ -14,6 +14,10 @@ import jax.numpy as jnp
 import optax
 import optax.tree_utils as otu
 
+# optax renamed tree_l2_norm -> tree_norm in 0.2.5 (the old name warns
+# and will be removed); support both
+_tree_norm = getattr(otu, "tree_norm", None) or otu.tree_l2_norm
+
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "tol"))
 def minimize_lbfgs(fun, z0, max_iter: int = 500, tol: float = 1e-8):
@@ -33,11 +37,11 @@ def minimize_lbfgs(fun, z0, max_iter: int = 500, tol: float = 1e-8):
         _, state = carry
         count = otu.tree_get(state, "count")
         grad = otu.tree_get(state, "grad")
-        err = otu.tree_l2_norm(grad)
+        err = _tree_norm(grad)
         return (count == 0) | ((count < max_iter) & (err >= tol))
 
     z, state = jax.lax.while_loop(cont, step, (z0, opt.init(z0)))
     value = otu.tree_get(state, "value")
     grad = otu.tree_get(state, "grad")
     count = otu.tree_get(state, "count")
-    return z, value, otu.tree_l2_norm(grad), count
+    return z, value, _tree_norm(grad), count
