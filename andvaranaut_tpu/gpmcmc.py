@@ -92,22 +92,45 @@ class GPState:
                 self._cache[j] = (L, v, xin_p, valid, None)
         return self._cache[j]
 
+    #: query rows per compiled predict call: bounds the (n_train, nq)
+    #: cross-Gram working set (at 16k train rows an unchunked 200k-point
+    #: query would materialise a ~26 GB f64 cross-Gram and OOM the 16 GB
+    #: chip).  All chunks share one padded shape, so the host loop
+    #: reuses a single compiled program.
+    QCHUNK = 16384
+
     def predict(self, xnew, jitter=None):
         l, kv, gv, alpha = self.hyper_args()
         L, v, xin_p, valid, Dinv = self.chol(jitter)
         m = xnew.shape[0]
+
+        def run(xq):
+            if Dinv is not None:
+                return engine.predict_from_chol_masked_mixed(
+                    self.kerns, self.ops, xin_p, valid, L, v, Dinv, xq,
+                    l, kv, gv, alpha)
+            return engine.predict_from_chol_masked(
+                self.kerns, self.ops, xin_p, valid, L, v, xq, l, kv, gv,
+                alpha)
+
+        if m > self.QCHUNK:
+            mus, vars_ = [], []
+            for lo in range(0, m, self.QCHUNK):
+                xq = jnp.asarray(xnew[lo:lo + self.QCHUNK])
+                if xq.shape[0] != self.QCHUNK:  # pad the tail chunk
+                    xq = jnp.pad(
+                        xq, ((0, self.QCHUNK - xq.shape[0]), (0, 0)))
+                take = min(self.QCHUNK, m - lo)
+                mu, var = run(xq)
+                mus.append(np.asarray(mu[:take]))
+                vars_.append(np.asarray(var[:take]))
+            return np.concatenate(mus), np.concatenate(vars_)
+
         mpad = engine.round_up(max(m, 1), self.BUCKET)
         xq = jnp.asarray(xnew)
         if mpad != m:
             xq = jnp.pad(xq, ((0, mpad - m), (0, 0)))
-        if Dinv is not None:
-            mu, var = engine.predict_from_chol_masked_mixed(
-                self.kerns, self.ops, xin_p, valid, L, v, Dinv, xq,
-                l, kv, gv, alpha)
-        else:
-            mu, var = engine.predict_from_chol_masked(
-                self.kerns, self.ops, xin_p, valid, L, v, xq, l, kv, gv,
-                alpha)
+        mu, var = run(xq)
         return np.asarray(mu[:m]), np.asarray(var[:m])
 
 

@@ -204,3 +204,26 @@ def test_relative_importances_smoke(fitted, monkeypatch):
     monkeypatch.setattr(plt, "show", lambda: None)
     fitted.relative_importances()
     fitted.relative_importances(logscale=True)
+
+
+def test_predict_query_chunking(rng):
+    """Chunked prediction (query count above GPState.QCHUNK) must equal
+    the single-program path exactly — same compiled kernel, host-side
+    concatenation only."""
+    import jax.numpy as jnp
+
+    from andvaranaut_tpu.gpmcmc import GPState
+
+    n = 64
+    X = rng.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
+    hypers = {"l": jnp.asarray([0.5, 0.7]), "kv": jnp.asarray([1.0]),
+              "gv": jnp.asarray(1e-4)}
+    state = GPState(("RBF",), (), True, 1e-6, X, y, hypers)
+    Xq = rng.uniform(size=(197, 2))
+    mu0, var0 = state.predict(Xq)
+    state2 = GPState(("RBF",), (), True, 1e-6, X, y, hypers)
+    state2.QCHUNK = 64  # force the chunked path
+    mu1, var1 = state2.predict(Xq)
+    np.testing.assert_allclose(mu1, mu0, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(var1, var0, rtol=0, atol=1e-12)
