@@ -39,21 +39,24 @@ def _two_sum(hi, lo, x):
     return s, lo + comp
 
 
-def _kernel(nslices, nk, lower_only, *refs):
+def _kernel(nslices, nk, lower_only, tmax, *refs):
     """One (TM, TN) output tile; grid dim 2 iterates k-chunks.
 
-    refs: bounds (2,) int32 SMEM [row_start, col_start], then
+    refs: bounds (2,) int32 scalar-prefetch [row_start, col_start], then
     a_0..a_{ns-1} (TM, TK) int8, b_0..b_{ns-1} (TK, TN) int8,
     hi/lo (TM, TN) f32 outputs, then ns (TM, TN) int32 group scratches.
 
-    Tiles that are statically known zero/ignored are SKIPPED on the MXU
-    (their scratches stay zero, so the combine writes exact zeros):
+    Dead tile ROWS (wholly above row_start) are NEVER VISITED: grid
+    dim 0 is dynamic and the row index maps add the row_start tile
+    offset, so their DMA, MXU work and sequencing vanish (their output
+    is undefined; production callers mask rows < row_start).  The other
+    skip conditions stay predicated (scratches zero, combine writes
+    exact zeros):
     - lower_only (static): strictly-upper tiles ti < tj — for syrk
       updates whose consumers only read the lower triangle;
-    - row_start/col_start (dynamic): output rows/cols below these global
-      indices are zero or discarded by the caller (the blocked
-      factorisation's masked full-height updates — the rows above the
-      active trailing submatrix).
+    - col_start (dynamic): output cols below this global index are zero
+      or discarded by the caller;
+    - the clamped single row of an all-dead call (row_start >= m).
     """
     bounds_ref = refs[0]
     refs = refs[1:]
@@ -61,7 +64,9 @@ def _kernel(nslices, nk, lower_only, *refs):
     b_refs = refs[nslices : 2 * nslices]
     hi_ref, lo_ref = refs[2 * nslices], refs[2 * nslices + 1]
     acc_refs = refs[2 * nslices + 2 :]
-    ti = pl.program_id(0)
+    ti = jnp.minimum(
+        pl.program_id(0) + jax.lax.div(bounds_ref[0], jnp.int32(_TM)),
+        jnp.int32(tmax - 1))
     tj = pl.program_id(1)
     kidx = pl.program_id(2)
 
@@ -122,7 +127,6 @@ def _syrk_kernel(nslices, nk, *refs):
     acc_refs = refs[2 * nslices + 2 :]
     t = pl.program_id(0)
     kidx = pl.program_id(1)
-    ti = i_ref[t]
     tj = j_ref[t]
 
     @pl.when(kidx == 0)
@@ -130,11 +134,12 @@ def _syrk_kernel(nslices, nk, *refs):
         for acc in acc_refs:
             acc[:] = jnp.zeros_like(acc)
 
-    # masked rows above the trailing submatrix: zero operand rows, so
-    # tiles wholly above row_start (in rows OR cols — syrk symmetry)
-    # contribute exact zeros and skip the MXU
-    active = ((ti + jnp.int32(1)) * jnp.int32(_TM) > rs_ref[0]) & (
-        (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0])
+    # masked rows above the trailing submatrix: zero operand rows.  The
+    # pair list orders ti >= tj, so a tile is dead iff its COLUMN is
+    # wholly above row_start; the dynamic grid already stops before the
+    # dead suffix — this predicate only covers the clamped t=0 cell of
+    # an all-dead call (it then writes exact zeros).
+    active = (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0]
 
     @pl.when(active)
     def _():
@@ -184,8 +189,13 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None):
     output tile-triangularly before consuming it
     (`A - where(tril_tiles, C, 0)` fuses to a single elementwise pass).
 
-    row_start: output rows AND cols below this index are zero (operand
-    rows are zero there) — tiles wholly below skip the MXU."""
+    row_start: operand rows below this index are zero.  Tiles whose
+    tile COLUMN lies wholly below it are NEVER VISITED — the pair list
+    is ordered by descending tj so the live set (tj-tile overlapping
+    [row_start, m)) is a prefix, and a DYNAMIC grid dimension stops at
+    its length: the dead cells' DMA, MXU work and grid sequencing all
+    vanish.  Unvisited output tiles are UNDEFINED (not zero): consumers
+    must mask on `tril_tiles & (col >= row_start)`."""
     out_dtype = A.dtype
     m, k = A.shape
     B = A.T
@@ -201,11 +211,19 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None):
         b_sl = [jnp.pad(b, ((0, kp - k), (0, mp - m))) for b in b_sl]
     nk = kp // _TK
     T = mp // _TM
-    pairs = [(i, j) for i in range(T) for j in range(i + 1)]
+    # descending tile column, then descending row: dead pairs (tj wholly
+    # below row_start) form the suffix for ANY row_start value
+    pairs = [(i, j) for j in range(T - 1, -1, -1) for i in range(T - 1, j - 1, -1)]
     i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
     j_arr = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
     rs = jnp.asarray(
         [0 if row_start is None else row_start], dtype=jnp.int32)
+    if row_start is None:
+        tgrid = len(pairs)
+    else:
+        kliv = jnp.maximum(
+            jnp.int32(T) - jnp.asarray(row_start, jnp.int32) // _TM, 0)
+        tgrid = jnp.maximum((kliv * (kliv + 1)) // 2, 1)
 
     a_spec = pl.BlockSpec(
         (_TM, _TK), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
@@ -218,7 +236,7 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None):
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(len(pairs), nk),
+        grid=(tgrid, nk),
         in_specs=[a_spec] * nslices + [b_spec] * nslices,
         out_specs=(o_spec, o_spec),
         scratch_shapes=[
@@ -262,10 +280,13 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
       computed; strictly-upper tiles are EXACT ZEROS in the output (the
       caller must not rely on them — for symmetric products whose
       consumers read the lower triangle only).
-    - row_start / col_start (dynamic i32 scalars): output rows/cols
-      below these indices are zeroed tile-wise (tiles wholly below are
-      skipped on the MXU) — for masked-update callers whose operand rows
-      are zero or whose output rows are discarded there.
+    - row_start (dynamic i32 scalar): output tile rows wholly above this
+      global index are NEVER VISITED — grid dim 0 is dynamic, so their
+      DMA/MXU/sequencing vanish and their output is UNDEFINED; callers
+      must mask rows < row_start (the blocked factorisation's panel
+      products do).
+    - col_start (dynamic i32 scalar): output cols below this index are
+      zeroed tile-wise (tiles wholly below skip the MXU).
     """
     out_dtype = A.dtype
     m, k = A.shape
@@ -283,31 +304,48 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
     if (kp, np_) != (k, n):
         b_sl = [jnp.pad(b, ((0, kp - k), (0, np_ - n))) for b in b_sl]
     nk = kp // _TK
+    tm = mp // _TM
 
     bounds = jnp.stack([
         jnp.asarray(0 if row_start is None else row_start, jnp.int32),
         jnp.asarray(0 if col_start is None else col_start, jnp.int32),
     ])
-    s_spec = pl.BlockSpec((2,), lambda i, j, kk: (np.int32(0),),
-                          memory_space=pltpu.SMEM)
-    a_spec = pl.BlockSpec((_TM, _TK), lambda i, j, kk: (i, kk),
+    if row_start is None:
+        mgrid = tm
+    else:
+        mgrid = jnp.maximum(
+            jnp.int32(tm) - jnp.asarray(row_start, jnp.int32) // _TM, 1)
+
+    def _row(i, b):
+        # i32 throughout: `//` on a Python int promotes through i64
+        # under x64 and Mosaic rejects i64 in index maps (TPU_NOTES)
+        rs_t = jax.lax.div(b[0], np.int32(_TM))
+        return jnp.minimum(i + rs_t, np.int32(tm - 1))
+
+    a_spec = pl.BlockSpec((_TM, _TK),
+                          lambda i, j, kk, b: (_row(i, b), kk),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((_TK, _TN), lambda i, j, kk: (kk, j),
+    b_spec = pl.BlockSpec((_TK, _TN), lambda i, j, kk, b: (kk, j),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((_TM, _TN), lambda i, j, kk: (i, j),
+    o_spec = pl.BlockSpec((_TM, _TN),
+                          lambda i, j, kk, b: (_row(i, b), j),
                           memory_space=pltpu.VMEM)
-    hi, lo = pl.pallas_call(
-        partial(_kernel, nslices, nk, lower_only),
-        grid=(mp // _TM, np_ // _TN, nk),
-        in_specs=[s_spec] + [a_spec] * nslices + [b_spec] * nslices,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mgrid, np_ // _TN, nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices,
         out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+        ],
+    )
+    hi, lo = pl.pallas_call(
+        partial(_kernel, nslices, nk, lower_only, tm),
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, np_), jnp.float32),
             jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
-        ],
         interpret=interpret_mode(),
     )(bounds, *a_sl, *b_sl)
     C = hi[:m, :n].astype(out_dtype) + lo[:m, :n].astype(out_dtype)

@@ -216,10 +216,12 @@ def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
 
     lower_only / row_start / col_start declare output regions that are
     zero or ignored by the caller (256-tile granular — see
-    pallas_int_slice_matmul): the Pallas kernel SKIPS those tiles on the
-    MXU (the blocked Cholesky's symmetric trailing updates and masked
-    full-height rows); the composed path applies the identical tile-wise
-    zeroing so both backends produce the same array."""
+    pallas_int_slice_matmul): the Pallas kernel skips lower_only /
+    col_start tiles on the MXU and NEVER VISITS tile rows wholly above
+    row_start (dynamic grid — their output is UNDEFINED and callers
+    must mask rows < row_start, as the blocked factorisation's panel
+    updates do).  The composed path applies tile-wise zeroing in all
+    three regions — a refinement of that contract."""
     from .._config import is_tpu
 
     if is_tpu():
@@ -263,11 +265,12 @@ def slice_syrk_lower(A, nslices: int = DEFAULT_NSLICES, row_start=None):
 
     On TPU this runs the triangular-grid Pallas kernel: the strictly-
     upper half of the output grid does not exist (no MXU work, no input
-    DMA, no sequencing), and its entries are UNSPECIFIED — consumers
-    must fuse a tile-triangular mask (`where(tril_tiles, C, 0)`).  The
-    composed CPU path returns the full product (a valid refinement).
-    row_start marks zero operand rows: output rows/cols wholly below it
-    are additionally skipped."""
+    DMA, no sequencing), and its entries are UNSPECIFIED — as are all
+    tiles whose tile COLUMN lies wholly below row_start (the dynamic
+    grid never visits them).  Consumers must mask on
+    `tril_tiles & (col >= row_start)`.  The composed CPU path returns
+    the full product (a valid refinement).
+    row_start marks zero operand rows."""
     from .._config import is_tpu
 
     if is_tpu():
@@ -372,7 +375,14 @@ def _chol_inv_seeded(Ajj, nslices: int):
     L0 = jnp.linalg.cholesky(As.astype(jnp.float32)).astype(dt)
     finite = jnp.isfinite(L0).all() & (jnp.min(jnp.diag(L0)) > 1e-6)
     L0 = jnp.tril(jnp.where(jnp.isfinite(L0), L0, eye))
-    X0 = tri_inv_mixed(L0, nslices=nslices)
+    # The SEED inverse only preconditions the Newton sweeps — its grade
+    # sets the contraction rate, not the final accuracy (the factor is
+    # gated on its own residual E and the production inverse Xs below is
+    # substitution-grade).  Unrefined blocked substitution (~1e-9 from
+    # slice-product composition over the sub-block steps) contracts just
+    # as hard as the refined ~4e-11 inverse, at a third of the Mosaic
+    # launches (2 vs 6 slice matmuls per sub-block step).
+    X0 = tri_inv_mixed(L0, nslices=nslices, solve_iters=0)
     mm = partial(slice_matmul, nslices=nslices)
     Ls = L0
     E = As - mm(Ls, Ls.T)
@@ -441,7 +451,8 @@ def _subst_inv(L):
     return X
 
 
-def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int | None = None):
+def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int | None = None,
+                  solve_iters: int | None = None):
     """Lower-triangular inverse: substitution for small matrices, blocked
     substitution (via blocked_solve_lower with identity rhs and per-block
     substitution inverses) for larger ones.  Sizes not divisible by the
@@ -458,13 +469,16 @@ def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int | None = None):
     4.8e-7; accuracy wins."""
     if base is None:
         base = INV_BASE
+    if solve_iters is None:
+        solve_iters = INV_SOLVE_ITERS
     b = L.shape[0]
     if b <= base:
         return _subst_inv(L)
     if b % base != 0:
         bp = -(-b // base) * base
         Lp = jnp.eye(bp, dtype=L.dtype).at[:b, :b].set(L)
-        return tri_inv_mixed(Lp, nslices=nslices, base=base)[:b, :b]
+        return tri_inv_mixed(Lp, nslices=nslices, base=base,
+                             solve_iters=solve_iters)[:b, :b]
     nb = b // base
     Ldiag = jnp.stack([
         jax.lax.dynamic_slice(L, (j * base, j * base), (base, base))
@@ -473,7 +487,7 @@ def tri_inv_mixed(L, nslices: int = DEFAULT_NSLICES, base: int | None = None):
     eye = jnp.eye(b, dtype=L.dtype)
     return blocked_solve_lower(
         L, eye, block=base, nslices=nslices, Dinv=Dinv,
-        solve_iters=INV_SOLVE_ITERS)
+        solve_iters=solve_iters)
 
 
 def _mv(M, v):
@@ -553,14 +567,19 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
             # trailing syrk is symmetric with zero rows/cols above the
             # trailing submatrix, and only the lower triangle of A is
             # ever consumed: the triangular-grid kernel computes (and
-            # DMAs) lower-triangle tiles only — the dominant MXU work,
-            # input streaming and grid sequencing all halve.  The
-            # tile-triangular mask fuses into the update subtraction.
+            # DMAs) lower-triangle tiles only, and its DYNAMIC grid
+            # stops before the dead tile columns left of the trailing
+            # submatrix — the dominant MXU work, input streaming and
+            # grid sequencing shrink to the live trailing triangle.
+            # Unvisited tiles are UNDEFINED: the update mask must
+            # exclude both the upper tile triangle and the dead columns
+            # (it fuses into the subtraction as a single select).
             Csy = slice_syrk_lower(panel, nslices=nslices,
                                    row_start=lo + block)
             col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
             tri = (row_idx // TILE) >= (col_idx // TILE)
-            A = A - jnp.where(tri, Csy, 0.0)
+            upd = tri & (col_idx >= lo + block)
+            A = A - jnp.where(upd, Csy, 0.0)
         else:
             panel = jnp.where(below, mm(cols, Linv.T), 0.0)
             # trailing syrk; masked panel rows make this a no-op outside

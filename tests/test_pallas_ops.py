@@ -51,9 +51,10 @@ def test_pallas_int_slice_matmul_parity(rng):
 
 
 def test_pallas_int_slice_matmul_predicated(rng):
-    """Tile-predicated kernel modes (interpret mode): lower_only and
-    row/col_start must zero exactly the skipped 256-tiles and leave every
-    computed tile bit-identical to the dense kernel."""
+    """Tile-predicated kernel modes (interpret mode): lower_only /
+    col_start zero the skipped 256-tiles; tile rows wholly above
+    row_start are never visited (dynamic grid — contents undefined);
+    every computed tile is bit-identical to the dense kernel."""
     from andvaranaut_tpu.gp import pallas_slicemm
     import jax.numpy as jnp
 
@@ -68,8 +69,17 @@ def test_pallas_int_slice_matmul_predicated(rng):
     TM = pallas_slicemm._TM
     ti = np.arange(m)[:, None] // TM
     tj = np.arange(m)[None, :] // TM
-    keep = (ti >= tj) & ((ti + 1) * TM > 256)
-    np.testing.assert_array_equal(pred, np.where(keep, dense, 0.0))
+    visited = (ti + 1) * TM > 256
+    keep = (ti >= tj) & visited
+    np.testing.assert_array_equal(
+        np.where(keep, pred, 0.0), np.where(keep, dense, 0.0))
+    # within visited rows, skipped tiles (upper triangle) are exact zeros
+    np.testing.assert_array_equal(
+        np.where(visited & ~keep, pred, 0.0), 0.0)
+    # an all-dead call still executes (grid clamped to one dead row)
+    dead = pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B), row_start=jnp.int32(4096))
+    assert np.asarray(dead).shape == (m, m)
 
 
 def test_pallas_syrk_lower_triangular_grid(rng):
@@ -92,18 +102,23 @@ def test_pallas_syrk_lower_triangular_grid(rng):
     np.testing.assert_array_equal(
         np.where(tril, low, 0.0), np.where(tril, dense, 0.0))
 
-    # row_start: masked-zero operand rows -> zero tiles skipped
+    # row_start: masked-zero operand rows -> dead tile COLUMNS are never
+    # visited (dynamic-grid prefix); everything in the live region must
+    # match the dense product.  Unvisited tiles are undefined.
     A2 = A.copy()
     A2[:256] = 0.0
     low2 = np.asarray(pallas_slicemm.pallas_int_slice_syrk_lower(
         jnp.asarray(A2), row_start=jnp.int32(256)))
     dense2 = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
         jnp.asarray(A2), jnp.asarray(A2.T)))
-    keep = tril & ((ti + 1) * TM > 256) & ((tj + 1) * TM > 256)
+    keep = tril & ((tj + 1) * TM > 256)
     np.testing.assert_array_equal(
         np.where(keep, low2, 0.0), np.where(keep, dense2, 0.0))
-    # skipped-but-visited tiles (below row_start) come out exact zero
-    assert np.all(low2[256:512, :256] == 0.0)
+    # an all-dead call (row_start >= m) must still execute (grid clamped
+    # to one predicated-off cell) and produce a well-shaped output
+    low3 = pallas_slicemm.pallas_int_slice_syrk_lower(
+        jnp.asarray(A2), row_start=jnp.int32(768))
+    assert np.asarray(low3).shape == (m, m)
 
 
 def test_slice_matmul_sparsity_flags_composed(rng):
