@@ -324,6 +324,17 @@ def _chol_diag(Ajj, mixed: bool, nslices: int):
 SEED_CHOL = int(_os.environ.get("ANDVARANAUT_SEED_CHOL", "1"))
 SEED_REFINE_ITERS = int(_os.environ.get("ANDVARANAUT_SEED_REFINE", "2"))
 
+#: fused Pallas pair-arithmetic diagonal chol+inverse (pallas_cholinv):
+#: 0 = off, 1 = auto (TPU only), 2 = force (CPU parity tests run it in
+#: interpret mode).  ONE Mosaic call per <=512 diagonal block replaces
+#: the seeded path's ~15 sequential slice-matmul/substitution programs:
+#: measured IN-PROGRAM (the standalone number is the documented ~30 ms
+#: per-launch Mosaic executable overhead — docs/TPU_NOTES.md
+#: "Micro-benchmark trap") 2.9 ms per 512 block vs ~50 ms for the
+#: seeded machinery per 1024 block, at equal (double-f32 pair ~ 1e-14)
+#: accuracy.
+FUSED_CHOL = int(_os.environ.get("ANDVARANAUT_FUSED_CHOL", "1"))
+
 
 def _pow2_sqrt_scales(v):
     """Exact power-of-two scales ~ sqrt(v): 2^((e+1)>>1) from the f32
@@ -407,6 +418,88 @@ def _chol_inv_seeded(Ajj, nslices: int):
     return jax.lax.cond(good, seeded, fallback, None)
 
 
+#: slice count for the fused-recursion composition matmuls.  The 2x2
+#: assembly multiplies TRIANGULAR-INVERSE operands whose entries reach
+#: ~1/sqrt(lambda_min) (|X| ~ 1e2 on bench-typical noise-floor blocks),
+#: and the int8-Ozaki absolute product error scales with the operand
+#: row/col maxima: at the default 6 slices the composed X10 came out
+#: ~1e-4-grade and the inner Schur complement ~5e-10 absolute on 1e-4
+#: diagonals — measured 9x end-to-end NLML parity loss (7.3e-6 vs
+#: 8.2e-7 at n=4096).  8 slices (36 vs 21 pair products) restore ~2^-56
+#: relative-to-operand grade; the cost is 4 small (512-grain) matmuls
+#: per diagonal block, negligible against the factorisation's trailing
+#: updates.
+FUSED_COMPOSE_NSLICES = int(
+    _os.environ.get("ANDVARANAUT_FUSED_COMPOSE_NSLICES", "8"))
+
+
+def _compose_mm(A, B):
+    """High-grade slice matmul for the fused-recursion assembly (see
+    FUSED_COMPOSE_NSLICES)."""
+    from .._config import is_tpu
+
+    if is_tpu():
+        from . import pallas_slicemm
+
+        return pallas_slicemm.pallas_int_slice_matmul(
+            A, B, nslices=FUSED_COMPOSE_NSLICES)
+    return int_slice_matmul(A, B, nslices=FUSED_COMPOSE_NSLICES)
+
+
+def _chol_inv_fused(Ajj, nslices: int):
+    """(L, L^-1) for a diagonal block through the fused Pallas pair
+    kernel (pallas_cholinv): ONE Mosaic call per <=512 block instead of
+    the seeded path's ~15 sequential slice-matmul/substitution
+    programs.  Blocks larger than 512 (the VMEM bound: six b*b f32
+    buffers) take one level of 2x2 blocked recursion — panel solve via
+    the sub-block inverse, slice-arithmetic syrk, and the standard
+    triangular-inverse assembly X10 = -X11 L10 X00 — so a 1024 block is
+    2 fused calls + 4 high-grade slice matmuls (_compose_mm: the
+    inverse operands are ~1e2 in magnitude, so the composition runs 8
+    int8 slices where the factorisation's O(1)-operand updates need
+    only 6).  Each <=512 sub-block carries its own finiteness/pivot
+    gate and falls back to emulated-f64 chol + substitution inverse
+    under lax.cond (pair pivots fail only when the equilibrated block
+    is non-PD in f32 or cond >~1e13).  Value-only (no autodiff rule):
+    every caller sits inside the closed-form gradient pipeline (bigfit)
+    or value-only objectives."""
+    from .pallas_cholinv import chol_inv_block_pair
+
+    b = Ajj.shape[0]
+    if b <= 512:
+        L, X, ok = chol_inv_block_pair(Ajj)
+
+        def fused(_):
+            return L, X
+
+        def fallback(_):
+            Lf = _chol_f64(Ajj)
+            return Lf, tri_inv_mixed(Lf, nslices=nslices)
+
+        return jax.lax.cond(ok, fused, fallback, None)
+
+    m = 512
+    dt = Ajj.dtype
+    mm = _compose_mm
+    A00 = Ajj[:m, :m]
+    A10 = Ajj[m:, :m]
+    A11 = Ajj[m:, m:]
+    L00, X00 = _chol_inv_fused(A00, nslices)
+    L10 = mm(A10, X00.T)
+    S = A11 - mm(L10, L10.T)
+    S = 0.5 * (S + S.T)
+    L11, X11 = _chol_inv_fused(S, nslices)
+    X10 = -mm(X11, mm(L10, X00))
+    zt = jnp.zeros((m, b - m), dt)
+    L = jnp.concatenate([
+        jnp.concatenate([L00, zt], axis=1),
+        jnp.concatenate([L10, L11], axis=1)], axis=0)
+    X = jnp.concatenate([
+        jnp.concatenate([X00, zt], axis=1),
+        jnp.concatenate([X10, X11], axis=1)], axis=0)
+    return L, X
+
+
 def _chol_inv_diag(Ajj, mixed: bool, nslices: int):
     """(Ljj, Ljj^-1) for one diagonal block of the blocked
     factorisation, choosing the seeded-refined path when profitable."""
@@ -416,6 +509,10 @@ def _chol_inv_diag(Ajj, mixed: bool, nslices: int):
         return L, jax.scipy.linalg.solve_triangular(
             L, jnp.eye(b, dtype=Ajj.dtype), lower=True)
     from .._config import is_tpu
+
+    use_fused = FUSED_CHOL == 2 or (FUSED_CHOL == 1 and is_tpu())
+    if use_fused and b >= 256 and b % 128 == 0:
+        return _chol_inv_fused(Ajj, nslices)
 
     use_seed = SEED_CHOL == 2 or (SEED_CHOL == 1 and is_tpu())
     if use_seed and b >= 256 and b % 128 == 0:

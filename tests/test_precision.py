@@ -291,3 +291,101 @@ def test_seeded_chol_condition_sweep(rng, monkeypatch, cond):
     assert np.isfinite(np.asarray(Dinv)).all()
     rec = np.abs(np.tril(L) @ np.tril(L).T - np.asarray(K)).max()
     assert rec / float(jnp.abs(K).max()) < 5e-7, rec
+
+def test_fused_diag_chol_parity(rng, monkeypatch):
+    """The fused Pallas pair-arithmetic diag chol+inverse (the TPU
+    default for 256+-grain diagonal blocks) must hold blocked-Cholesky
+    accuracy when forced on CPU (FUSED_CHOL=2, interpret mode)."""
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    n = 768
+    K = _spd(n, rng, cond=1e6) + 1e-8 * np.eye(n)
+    L, Dinv = precision.blocked_cholesky(
+        jnp.asarray(K), block=256, return_inv=True)
+    L = np.asarray(L)
+    rec = np.abs(L @ L.T - K).max() / np.abs(K).max()
+    assert rec < 5e-7, rec
+    for j in range(3):
+        Lj = L[256 * j:256 * (j + 1), 256 * j:256 * (j + 1)]
+        err = np.abs(np.asarray(Dinv[j]) @ Lj - np.eye(256)).max()
+        assert err < 1e-7, (j, err)
+
+
+def test_fused_diag_chol_recursion(rng, monkeypatch):
+    """Blocks above the 512 VMEM bound go through one level of 2x2
+    blocked recursion (2 fused calls + 4 slice matmuls): both the
+    factor and the assembled inverse X10 = -X11 L10 X00 must be
+    substitution-grade."""
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    n = 1024
+    K = _spd(n, rng, cond=1e6) + 1e-8 * np.eye(n)
+    Lj, Linv = precision._chol_inv_diag(jnp.asarray(K), True, 21)
+    Lj, Linv = np.asarray(Lj), np.asarray(Linv)
+    rec = np.abs(Lj @ Lj.T - K).max() / np.abs(K).max()
+    assert rec < 5e-7, rec
+    err = np.abs(Linv @ Lj - np.eye(n)).max()
+    assert err < 1e-7, err
+
+
+def test_fused_diag_chol_illconditioned(rng, monkeypatch):
+    """cond 1e12: far beyond the old f32 seed's range, well within the
+    ~48-bit pair mantissa — the fused path must stay accurate whether
+    it gates to the f64 fallback or not."""
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    n = 256
+    K = _spd(n, rng, cond=1e12) + 1e-14 * np.eye(n)
+    Lj, Linv = precision._chol_inv_diag(jnp.asarray(K), True, 21)
+    L0 = np.linalg.cholesky(K)
+    rel = np.abs(np.asarray(Lj) - L0).max() / np.abs(L0).max()
+    assert rel < 1e-5, rel
+    err = np.abs(np.asarray(Linv) @ np.asarray(Lj) - np.eye(n)).max()
+    assert err < 1e-6, err
+
+
+def test_fused_recursion_composition_grade(rng, monkeypatch):
+    """Regression: the 2x2 recursion's assembly matmuls multiply
+    triangular-inverse operands of magnitude ~1/sqrt(lambda_min) (~1e2
+    on noise-floor GP blocks), and the int8-Ozaki absolute error scales
+    with operand magnitude — at the factorisation's default 6 slices
+    the composed X10 degraded to ~2e-4 and end-to-end NLML parity lost
+    9x.  The composition must run at the higher FUSED_COMPOSE_NSLICES
+    grade: on a bench-typical noise-floor 1024 Gram block the composed
+    inverse residual must stay substitution-grade."""
+    from andvaranaut_tpu.gp import kernels
+
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    n = 1024
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    K = kernels.gram(("RBF",), (), X, None,
+                     jnp.asarray([0.5, 0.7]), jnp.asarray([1.0]), None)
+    K = K + (1e-4 + 1e-6) * jnp.eye(n)
+    L, Xi = precision._chol_inv_fused(K, 21)
+    L, Xi = np.asarray(L), np.asarray(Xi)
+    Lref = np.linalg.cholesky(np.asarray(K))
+    assert np.abs(np.tril(L) - Lref).max() < 1e-9
+    assert np.abs(Xi @ np.tril(L) - np.eye(n)).max() < 1e-7
+    assert np.abs(np.tril(L) @ np.tril(L).T - np.asarray(K)).max() < 1e-11
+
+
+def test_fused_diag_chol_lowrank_gate(rng, monkeypatch):
+    """The 16k MAP-fit-start failure mode in miniature (see the seeded
+    test above): a numerically low-rank long-lengthscale RBF Gram on an
+    8e-4 noise floor.  The fused kernel's substitution inverse comes
+    off the pair factor row by row — substitution-grade by
+    construction — so the factorisation must stay finite and
+    reconstruct K."""
+    from andvaranaut_tpu.gp import kernels
+
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    n = 512
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    K = kernels.gram(("RBF",), (), X, None,
+                     jnp.asarray([1.6487, 1.6487]), jnp.asarray([2.3193]),
+                     None)
+    K = K + 8.08e-4 * jnp.eye(n)
+    L, Dinv = precision.blocked_cholesky(K, block=256, return_inv=True)
+    L = np.asarray(L)
+    assert np.isfinite(L).all()
+    assert np.isfinite(np.asarray(Dinv)).all()
+    rec = np.abs(L @ L.T - np.asarray(K)).max() / float(jnp.abs(K).max())
+    assert rec < 1e-6, rec
+    assert (np.diag(L) > 0).all()
