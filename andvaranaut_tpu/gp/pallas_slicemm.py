@@ -168,6 +168,193 @@ def _syrk_kernel(nslices, nk, *refs):
         lo_ref[:] = lo
 
 
+def _syrk_sub_kernel(nslices, nk, *refs):
+    """Triangular-grid fused trailing update: A_tile -= panel @ panel.T.
+
+    Same slice-pair reduction and dynamic triangular grid as
+    `_syrk_kernel`, but the combine step finishes the whole trailing
+    update in-kernel: the composed (hi, lo) f32 product pair is scaled
+    by the power-of-two row/col scales and subtracted from the carried
+    matrix's (hi, lo) pair IN PLACE (outputs alias the Ahi/Alo inputs).
+    This removes the separate full-matrix XLA elementwise pass
+    (`A - where(upd, Csy, 0)`) that read/wrote the whole (m, m) carry
+    per factorisation step — measured ~30 ms per 16k^2 pass, ~200 ms
+    over the 16k factorisation (benchmarks/gram_breakdown.py).
+
+    refs: i_arr, j_arr (nT,) i32, rs (1,) i32 — scalar prefetch — then
+    a/b slice tiles, Ahi/Alo carry tiles, sa (TM, 128) / sb (8, TN) f32
+    scale tiles, hi/lo outputs (aliased to Ahi/Alo), int32 scratches."""
+    i_ref, j_ref, rs_ref = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+    a_refs = refs[:nslices]
+    b_refs = refs[nslices : 2 * nslices]
+    ahi_ref, alo_ref, sa_ref, sb_ref = refs[2 * nslices : 2 * nslices + 4]
+    hi_ref, lo_ref = refs[2 * nslices + 4], refs[2 * nslices + 5]
+    acc_refs = refs[2 * nslices + 6 :]
+    t = pl.program_id(0)
+    kidx = pl.program_id(1)
+    tj = j_ref[t]
+
+    @pl.when(kidx == 0)
+    def _():
+        for acc in acc_refs:
+            acc[:] = jnp.zeros_like(acc)
+
+    # the dynamic grid stops before dead tile columns; this predicate
+    # only covers the clamped t=0 cell of an all-dead call, which must
+    # write the carry through unchanged (outputs alias the carry).
+    active = (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0]
+
+    @pl.when(active)
+    def _():
+        for i in range(nslices):
+            for j in range(nslices - i):
+                p = jax.lax.dot_general(
+                    a_refs[i][:], b_refs[j][:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc_refs[i + j][:] += p
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        @pl.when(active)
+        def _():
+            chi = jnp.zeros_like(hi_ref)
+            clo = jnp.zeros_like(lo_ref)
+            for s in range(nslices):
+                g = acc_refs[s][:]
+                ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
+                glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
+                w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
+                chi, clo = _two_sum(
+                    chi, clo, ghi.astype(jnp.float32) * (w * 4096.0))
+                chi, clo = _two_sum(chi, clo, glo.astype(jnp.float32) * w)
+            # power-of-two row scale then col scale: each mult exact,
+            # single-axis broadcasts only
+            sa = sa_ref[:, :1]
+            sb = sb_ref[:1, :]
+            chi = (chi * sa) * sb
+            clo = (clo * sa) * sb
+            # pair subtraction (A - C), renormalised to a proper pair
+            h1, l1 = _two_sum(ahi_ref[:], alo_ref[:], -chi)
+            h2, l2 = _two_sum(h1, l1, -clo)
+            nh = h2 + l2
+            hi_ref[:] = nh
+            lo_ref[:] = (h2 - nh) + l2
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            # clamped cell of an all-dead call: carry passes through
+            hi_ref[:] = ahi_ref[:]
+            lo_ref[:] = alo_ref[:]
+
+
+def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
+                                   row_start=None):
+    """See _pallas_int_slice_syrk_sub_pair; resolves the slice count
+    OUTSIDE the jit so it is the compile-cache key."""
+    return _pallas_int_slice_syrk_sub_pair(
+        Ahi, Alo, panel,
+        nslices=precision.INT_NSLICES if nslices is None else nslices,
+        row_start=row_start)
+
+
+@partial(jax.jit, static_argnames=("nslices",))
+def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
+                                    row_start=None):
+    """(Ahi, Alo) -= panel @ panel.T on live lower-triangle tiles, fused.
+
+    The trailing matrix is carried as an (hi, lo) f32 pair (~2^-48
+    grade — comfortably above the int8-slice product's own ~2^-42
+    truncation grade, so factorisation accuracy is unchanged).  One
+    kernel does the whole trailing update per step: slice-pair MXU
+    products, power-of-two scaling, and pair subtraction from the
+    carry, writing in place (input_output_aliases).  Tiles never
+    visited by the dynamic triangular grid — strictly-upper tiles and
+    tile columns wholly below `row_start` — PASS THROUGH unchanged,
+    which is exactly the masked-update semantics the factorisation
+    needs (finished L columns below row_start are preserved without
+    any masking pass).
+
+    panel rows below `row_start` must already be zero (the caller's
+    `where(below, …)` mask): straddling tiles then subtract exact
+    zeros outside the live region.  Requires square (m, m) carries
+    with m a multiple of the 256 tile; panel k is padded as needed."""
+    m, k = panel.shape
+    assert Ahi.shape == (m, m) and Alo.shape == (m, m)
+    assert m % _TM == 0, "pair carry requires tile-aligned m"
+    B = panel.T
+    sA = precision._pow2_row_scales(panel, axis=1)
+    a_sl = precision._int_slices(panel / sA, nslices)
+    b_sl = [a.T for a in a_sl]
+
+    kp = -(-k // _TK) * _TK
+    if kp != k:
+        a_sl = [jnp.pad(a, ((0, 0), (0, kp - k))) for a in a_sl]
+        b_sl = [jnp.pad(b, ((0, kp - k), (0, 0))) for b in b_sl]
+    nk = kp // _TK
+    T = m // _TM
+    pairs = [(i, j) for j in range(T - 1, -1, -1)
+             for i in range(T - 1, j - 1, -1)]
+    i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
+    j_arr = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
+    rs = jnp.asarray(
+        [0 if row_start is None else row_start], dtype=jnp.int32)
+    if row_start is None:
+        tgrid = len(pairs)
+    else:
+        kliv = jnp.maximum(
+            jnp.int32(T) - jnp.asarray(row_start, jnp.int32) // _TM, 0)
+        tgrid = jnp.maximum((kliv * (kliv + 1)) // 2, 1)
+
+    sa32 = jnp.broadcast_to(sA.astype(jnp.float32), (m, 128))
+    sb32 = jnp.broadcast_to(
+        sA.reshape(1, -1).astype(jnp.float32), (8, m))
+
+    a_spec = pl.BlockSpec(
+        (_TM, _TK), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
+        memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec(
+        (_TK, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+        memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
+        memory_space=pltpu.VMEM)
+    # index-map constants MUST be explicit i32: a literal 0 traces as
+    # i64 under x64 and Mosaic rejects i64 in index maps (TPU_NOTES)
+    sa_spec = pl.BlockSpec(
+        (_TM, 128), lambda t, kk, i_a, j_a, r: (i_a[t], np.int32(0)),
+        memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec(
+        (8, _TN), lambda t, kk, i_a, j_a, r: (np.int32(0), j_a[t]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tgrid, nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices
+        + [o_spec, o_spec, sa_spec, sb_spec],
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+        ],
+    )
+    # flat input order: 3 scalar-prefetch, 2*nslices slice operands,
+    # then Ahi, Alo (aliased to outputs 0, 1), sa, sb
+    base = 3 + 2 * nslices
+    nhi, nlo = pl.pallas_call(
+        partial(_syrk_sub_kernel, nslices, nk),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ),
+        input_output_aliases={base: 0, base + 1: 1},
+        interpret=interpret_mode(),
+    )(i_arr, j_arr, rs, *a_sl, *b_sl, Ahi, Alo, sa32, sb32)
+    return nhi, nlo
+
+
 def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
                                 row_start=None):
     """See _pallas_int_slice_syrk_lower; resolves the configurable slice

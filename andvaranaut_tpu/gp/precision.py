@@ -625,6 +625,81 @@ def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
     return jax.lax.fori_loop(0, iters, body, Xop(b))
 
 
+#: carry the factorisation's trailing matrix as an (hi, lo) f32 pair and
+#: fuse the trailing-update subtraction into the Pallas syrk kernel
+#: (pallas_int_slice_syrk_sub_pair): 0 = off, 1 = auto (TPU only),
+#: 2 = force (CPU parity tests, interpret mode).  The f64-carry path's
+#: `A - where(upd, Csy, 0)` is a full-matrix XLA elementwise pass per
+#: step — measured ~30 ms per 16k^2 pass (pure HBM traffic: an f32 pass
+#: costs the same, benchmarks/gram_breakdown.py), ~200 ms across the
+#: 16k factorisation.  The fused kernel updates live lower tiles in
+#: place (input_output_aliases) and unvisited tiles pass through, so
+#: the masking pass disappears entirely.  Pair grade ~2^-48 sits above
+#: the int8-slice product's ~2^-42 truncation grade: factor accuracy is
+#: unchanged (parity-tested).
+PAIR_CARRY = int(_os.environ.get("ANDVARANAUT_PAIR_CARRY", "1"))
+
+
+def _use_pair_carry(block: int, n: int) -> bool:
+    from .._config import is_tpu
+
+    if block % TILE or n % TILE:
+        return False
+    return PAIR_CARRY == 2 or (PAIR_CARRY == 1 and is_tpu())
+
+
+def _pair_split(A):
+    hi = A.astype(jnp.float32)
+    return hi, (A - hi.astype(A.dtype)).astype(jnp.float32)
+
+
+def _chol_steps_pair(Ahi, Alo, nsteps: int, block: int, nslices: int,
+                     dt):
+    """`nsteps` factorisation steps with the trailing matrix carried as
+    an (hi, lo) f32 pair; the trailing syrk update runs fused in-place
+    in the Pallas kernel (see PAIR_CARRY).  Finished L columns
+    accumulate pair-split in the planes' lower triangle."""
+    from . import pallas_slicemm
+
+    m = Ahi.shape[0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    def body(j, carry):
+        Ahi, Alo, Dinv = carry
+        lo = j * block
+        Ajj = (
+            jax.lax.dynamic_slice(Ahi, (lo, lo), (block, block)).astype(dt)
+            + jax.lax.dynamic_slice(Alo, (lo, lo), (block, block)).astype(dt))
+        # only the lower triangle of the carry is maintained
+        Ajj = jnp.tril(Ajj) + jnp.tril(Ajj, -1).T
+        Ljj, Linv = _chol_inv_diag(Ajj, True, nslices)
+        Dinv = jax.lax.dynamic_update_slice(Dinv, Linv[None], (j, 0, 0))
+        cols = (
+            jax.lax.dynamic_slice(Ahi, (0, lo), (m, block)).astype(dt)
+            + jax.lax.dynamic_slice(Alo, (0, lo), (m, block)).astype(dt))
+        below = row_idx >= lo + block
+        panel = jnp.where(
+            below,
+            slice_matmul(cols, Linv.T, nslices=nslices,
+                         row_start=lo + block), 0.0)
+        # fused in-place trailing update: unvisited tiles (upper
+        # triangle, finished columns left of the trailing submatrix)
+        # pass through — no masking pass.  The slice count resolves to
+        # INT_NSLICES inside, like every other production slice call
+        # (the legacy `nslices` arg of blocked_cholesky is NOT honoured
+        # by the TPU dispatches in slice_matmul/slice_syrk_lower).
+        Ahi, Alo = pallas_slicemm.pallas_int_slice_syrk_sub_pair(
+            Ahi, Alo, panel, row_start=lo + block)
+        Lcol = jax.lax.dynamic_update_slice(panel, Ljj, (lo, 0))
+        Lch, Lcl = _pair_split(Lcol)
+        Ahi = jax.lax.dynamic_update_slice(Ahi, Lch, (0, lo))
+        Alo = jax.lax.dynamic_update_slice(Alo, Lcl, (0, lo))
+        return Ahi, Alo, Dinv
+
+    Dinv0 = jnp.zeros((nsteps, block, block), dtype=dt)
+    return jax.lax.fori_loop(0, nsteps, body, (Ahi, Alo, Dinv0))
+
+
 def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
     """`nsteps` right-looking factorisation steps on the active (m, m)
     submatrix A, with fixed-shape masked full-height updates (ONE compiled
@@ -725,12 +800,18 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
 
     L = jnp.zeros((n, n), dtype=K.dtype)
     Dparts = []
-    A = K
+    pair = mixed and _use_pair_carry(block, n)
+    if pair:
+        Ahi, Alo = _pair_split(K)
+    else:
+        A = K
     offset = 0
     m = n
     while True:
         nbl = m // block
         if nbl == 1:
+            if pair:
+                A = Ahi.astype(K.dtype) + Alo.astype(K.dtype)
             if mixed:
                 # predicated syrk levels maintain only the lower triangle
                 A = jnp.tril(A) + jnp.tril(A, -1).T
@@ -739,12 +820,20 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
             Dparts.append(Linv[None])
             break
         nsteps = max(-(-nbl // CHOL_SHRINK), 1)
-        A, Dpart = _chol_steps(A, nsteps, block, mixed, nslices)
         h = nsteps * block
-        L = jax.lax.dynamic_update_slice(
-            L, jnp.tril(A)[:, :h], (offset, offset))
+        if pair:
+            Ahi, Alo, Dpart = _chol_steps_pair(
+                Ahi, Alo, nsteps, block, nslices, K.dtype)
+            Lpart = jnp.tril(
+                Ahi[:, :h].astype(K.dtype) + Alo[:, :h].astype(K.dtype))
+            Ahi = Ahi[h:, h:]
+            Alo = Alo[h:, h:]
+        else:
+            A, Dpart = _chol_steps(A, nsteps, block, mixed, nslices)
+            Lpart = jnp.tril(A)[:, :h]
+            A = A[h:, h:]
+        L = jax.lax.dynamic_update_slice(L, Lpart, (offset, offset))
         Dparts.append(Dpart)
-        A = A[h:, h:]
         offset += h
         m -= h
         if m == 0:  # CHOL_SHRINK=1: the single level factored everything

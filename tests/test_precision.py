@@ -389,3 +389,90 @@ def test_fused_diag_chol_lowrank_gate(rng, monkeypatch):
     rec = np.abs(L @ L.T - np.asarray(K)).max() / float(jnp.abs(K).max())
     assert rec < 1e-6, rec
     assert (np.diag(L) > 0).all()
+
+
+def test_syrk_sub_pair_kernel(rng):
+    """Fused in-place trailing update (interpret mode): live lower
+    tiles get A - panel@panel.T at slice grade; unvisited tiles —
+    strictly-upper and tile columns wholly below row_start — PASS
+    THROUGH unchanged (the masked-update semantics of the
+    factorisation, with finished L columns preserved bit-exactly)."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+
+    n, rs = 512, 256
+    K = _spd(n, rng, cond=1e4)
+    panel = rng.normal(size=(n, 256))
+    panel[:rs] = 0.0
+    pj = jnp.asarray(panel)
+    Ahi, Alo = precision._pair_split(jnp.asarray(K))
+    nhi, nlo = pallas_slicemm.pallas_int_slice_syrk_sub_pair(
+        Ahi, Alo, pj, nslices=6, row_start=rs)
+    got = np.asarray(nhi.astype(jnp.float64) + nlo.astype(jnp.float64))
+    C = np.asarray(precision.int_slice_matmul(pj, pj.T, nslices=6))
+    ti = np.arange(n)[:, None] // 256
+    tj = np.arange(n)[None, :] // 256
+    upd = (ti >= tj) & (((tj + 1) * 256) > rs)
+    want = np.where(upd, K - C, K)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-12, err
+    # passthrough region must be BIT-exact (aliased tiles untouched)
+    ahi0, alo0 = np.asarray(Ahi), np.asarray(Alo)
+    keep = ~upd
+    assert (np.asarray(nhi)[keep] == ahi0[keep]).all()
+    assert (np.asarray(nlo)[keep] == alo0[keep]).all()
+
+
+def test_syrk_sub_pair_all_dead(rng):
+    """row_start >= m: the clamped single grid cell must write the
+    carry through unchanged (value-wise)."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+
+    n = 512
+    K = _spd(n, rng)
+    panel = jnp.zeros((n, 256))
+    Ahi, Alo = precision._pair_split(jnp.asarray(K))
+    nhi, nlo = pallas_slicemm.pallas_int_slice_syrk_sub_pair(
+        Ahi, Alo, panel, nslices=6, row_start=n)
+    assert (np.asarray(nhi) == np.asarray(Ahi)).all()
+    assert (np.asarray(nlo) == np.asarray(Alo)).all()
+
+
+def test_pair_carry_cholesky_parity(rng, monkeypatch):
+    """PAIR_CARRY=2 (f32-pair trailing carry + fused in-place syrk,
+    the TPU default) must match the f64-carry mixed path to well under
+    the slice-product grade, including diagonal-block inverses and
+    level transitions, on both well- and ill-conditioned inputs."""
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    n = 1024
+    K = _spd(n, rng, cond=1e6)
+    Kj = jnp.asarray(K)
+    L, Dinv = precision.blocked_cholesky(Kj, block=256, return_inv=True)
+    monkeypatch.setattr(precision, "PAIR_CARRY", 0)
+    L0, Dinv0 = precision.blocked_cholesky(Kj, block=256, return_inv=True)
+    dL = np.abs(np.tril(np.asarray(L)) - np.tril(np.asarray(L0))).max()
+    assert dL < 1e-9 * np.abs(np.asarray(L0)).max(), dL
+    # diag-block inverses amplify the ~1e-13 pair-assembly difference
+    # in Ajj by the block condition number — 1e-7 relative is still two
+    # orders under the substitution-inverse grade consumers rely on
+    dD = np.abs(np.asarray(Dinv) - np.asarray(Dinv0)).max()
+    assert dD < 1e-7 * np.abs(np.asarray(Dinv0)).max(), dD
+    rec = np.abs(np.tril(np.asarray(L)) @ np.tril(np.asarray(L)).T - K).max()
+    assert rec / np.abs(K).max() < 5e-7, rec
+
+
+def test_pair_carry_nlml_parity(rng, monkeypatch):
+    """End-to-end mixed NLML through the pair-carry factorisation must
+    match the host f64 value to the usual mixed-path tolerance."""
+    from andvaranaut_tpu.gp import kernels
+
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    n = 768
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0]))
+                    + 0.01 * rng.normal(size=n))
+    K = kernels.gram(("RBF",), (), X, None, jnp.asarray([0.5, 0.7]),
+                     jnp.asarray([1.0]), None)
+    K = K + (1e-4 + 1e-6) * jnp.eye(n)
+    nlml = float(precision.mixed_nlml(K, y, block=256))
+    ref = float(engine.chol_nlml(K, y))
+    assert abs(nlml - ref) / abs(ref) < 1e-6, (nlml, ref)
