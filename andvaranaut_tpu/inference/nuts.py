@@ -469,17 +469,20 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
     ms/leapfrog at n=256 on the TPU).  `chunk` is a LEAPFROG count and
     must be a multiple of `unroll`; `keys` has chunk/unroll rows.
 
-    adapt_tlen: ChEES-style adaptation of the MEAN trajectory time
-    during warmup (Hoffman, Radul & Sountsov 2021): trajectory time
-    drawn ~ U(0, 2*tmean), log(tmean) under Adam ascent on the
-    halting-derivative estimate of the ChEES criterion
+    adapt_tlen: ChEES-style adaptation of the MEAN trajectory length
+    during warmup (Hoffman, Radul & Sountsov 2021): trajectory length
+    drawn ~ U(0, 2*nmean) leapfrog steps, log(nmean) under Adam ascent
+    on the halting-derivative estimate of the ChEES criterion
     d/dt (|z1-zbar|^2 - |z0-zbar|^2)^2/4 = (...)*(z1-zbar)@v1, weighted
-    by the jitter fraction u and the accept probability.  `zbar` is the
-    CROSS-CHAIN mean position, computed by the caller at the previous
-    chunk boundary and held fixed through the chunk (the caller also
-    pools log_tmean across chains between chunks).  An earlier variant
-    used the per-chain warmup Welford mean instead — its correlation
-    with the chain's own history biases the gradient positive and tmean
+    by the jitter fraction u and the accept probability.  The learned
+    coordinate is length in STEPS (= trajectory time / eps) rather than
+    the paper's trajectory time — see the inline note at the ascent for
+    the measured failure that motivates it.  `zbar` is the CROSS-CHAIN
+    mean position, computed by the caller at the previous chunk
+    boundary and held fixed through the chunk (the caller also pools
+    log_nmean across chains between chunks).  An earlier variant used
+    the per-chain warmup Welford mean instead — its correlation with
+    the chain's own history biases the gradient positive and the length
     ran away to the budget cap (18x worse ESS/leapfrog than uniform
     jitter on an ill-scaled Gaussian); the paper's cross-chain mean is
     essential.  Ignored (pass zeros) when adapt_tlen=False."""
@@ -567,18 +570,31 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
             lambda w: jnp.where(apply_mass, jnp.zeros_like(w), w),
             welford)
 
-        # -- ChEES trajectory-time ascent (warmup, once zbar stabilises)
-        log_tmean, u_cur, adm, adv, adc = ch
+        # -- ChEES trajectory-LENGTH ascent (warmup, once zbar stabilises)
+        #
+        # The learned coordinate is log MEAN TRAJECTORY LENGTH IN
+        # LEAPFROG STEPS (log_nmean = log(tmean/eps)), not trajectory
+        # TIME.  Time-parameterised adaptation anchored tmean to the
+        # step size at reset points while dual averaging subsequently
+        # moved eps by 7-15x at the mass-matrix whitening — measured on
+        # the n=256 GP hyperposterior with the mixed-precision
+        # objective: the post-apply ascent could not track the moving
+        # optimum, tmean collapsed below ONE leapfrog step, the chains
+        # random-walked (min ESS 7-10 vs 500-700 healthy; the ChEES
+        # gradient itself dies at sub-step lengths since z1 ~= z0, so
+        # the collapse is absorbing).  In step units the eps motion
+        # cancels out of the coordinate entirely; post-warmup eps is
+        # frozen, so the two parameterisations sample identically.
+        log_nmean, u_cur, adm, adv, adc = ch
         if adapt_tlen:
-            # the metric just changed: everything learned about tmean
-            # is for the OLD metric — restart at HALF the uniform-jitter
-            # mean (eps*budget/4; a mild shortward bias toward the
-            # typical post-whitening optimum) with fresh Adam moments
-            # (carrying tmean across applies was A/B'd and loses when
-            # the metric legitimately moves at the later applies).
-            eps_now = jnp.exp(da.log_eps)
-            log_reset = jnp.log(eps_now * (budget / 4.0))
-            log_tmean = jnp.where(apply_mass, log_reset, log_tmean)
+            # the metric just changed: everything learned is for the
+            # OLD metric — restart at HALF the uniform-jitter mean
+            # (budget/4 steps; a mild shortward bias toward the typical
+            # post-whitening optimum) with fresh Adam moments (carrying
+            # the value across applies was A/B'd and loses when the
+            # metric legitimately moves at the later applies).
+            log_reset = jnp.log(budget / 4.0) + jnp.zeros((), z.dtype)
+            log_nmean = jnp.where(apply_mass, log_reset, log_nmean)
             adm = jnp.where(apply_mass, 0.0, adm)
             adv = jnp.where(apply_mass, 0.0, adv)
             adc = jnp.where(apply_mass, 0.0, adc)
@@ -586,7 +602,8 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
             d0 = z_start - zbar
             v1 = inv_mass * rc
             dCdt = (jnp.sum(d1 * d1) - jnp.sum(d0 * d0)) * jnp.dot(d1, v1)
-            g = dCdt * u_cur * aprob * jnp.exp(log_tmean)  # d/dlog tmean
+            # d/dlog nmean = dC/dt * tmean, tmean = nmean * eps
+            g = dCdt * u_cur * aprob * jnp.exp(log_nmean) * eps_cur
             g = jnp.where(jnp.isfinite(g), g, 0.0)
             if chees_sign:
                 # experimental: sign-normalised gradient — immune to the
@@ -605,9 +622,13 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
             adv1 = b2 * adv + (1.0 - b2) * g * g
             mhat = adm1 / (1.0 - b1 ** adc1)
             vhat = adv1 / (1.0 - b2 ** adc1)
-            log_new = log_tmean + lr * mhat / (jnp.sqrt(vhat) + 1e-10)
-            log_new = jnp.clip(log_new, -18.0, 18.0)
-            log_tmean = jnp.where(do_ad, log_new, log_tmean)
+            log_new = log_nmean + lr * mhat / (jnp.sqrt(vhat) + 1e-10)
+            # floor at a 2-step mean: below ~1 step the halting
+            # gradient has no signal (the collapse is absorbing) and
+            # sub-step trajectories are pure random walk
+            log_new = jnp.clip(
+                log_new, jnp.log(2.0), jnp.log(float(budget)))
+            log_nmean = jnp.where(do_ad, log_new, log_nmean)
             adm = jnp.where(do_ad, adm1, adm)
             adv = jnp.where(do_ad, adv1, adv)
             adc = jnp.where(do_ad, adc1, adc)
@@ -627,24 +648,24 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
         r0 = jax.random.normal(kmom, z.shape, z.dtype) * mass_sqrt
         if adapt_tlen:
             u = jax.random.uniform(klen, (), z.dtype)
-            # tmean the budget cannot draw is unlearnable: clamp the
-            # DRAW (not the learned value) so that 2*tmean <= budget*eps
-            # — at the clamp ChEES degenerates to uniform jitter instead
+            # a mean the budget cannot draw is unlearnable: clamp the
+            # DRAW (not the learned value) so that 2*nmean <= budget —
+            # at the clamp ChEES degenerates to uniform jitter instead
             # of saturating every trajectory at the cap
-            lt_draw = jnp.minimum(
-                log_tmean,
-                jnp.log(jnp.maximum(eps_next, 1e-12) * (budget / 2.0)))
-            t_traj = 2.0 * jnp.exp(lt_draw) * u
-            ns = jnp.ceil(
-                t_traj / jnp.maximum(eps_next, 1e-12)).astype(jnp.int32)
+            ln_draw = jnp.minimum(log_nmean, jnp.log(budget / 2.0))
+            ns = jnp.ceil(2.0 * jnp.exp(ln_draw) * u).astype(jnp.int32)
             if unroll > 1:
                 ns = -(-ns // unroll) * unroll
-            nsteps_new = jnp.clip(ns, unroll, budget)
+            # floor at 4 leapfrogs: a lower bound on exploration per
+            # transition that costs nothing when the learned length is
+            # healthy and bounds the damage when it is not
+            nsteps_new = jnp.clip(
+                ns, max(unroll, min(4, budget)), budget)
             u_cur = jnp.where(boundary, u, u_cur)
         else:
             nsteps_new = unroll * jax.random.randint(
                 klen, (), 1, budget // unroll + 1, dtype=jnp.int32)
-        ch = (log_tmean, u_cur, adm, adv, adc)
+        ch = (log_nmean, u_cur, adm, adv, adc)
         zc = jnp.where(boundary, z, zc)
         rc = jnp.where(boundary, r0, rc)
         Uc = jnp.where(boundary, U, Uc)
@@ -671,12 +692,13 @@ def _flat_carry_init(chain_init, budget):
     """Extend an _init_chain carry with the flat-scan trajectory state:
     a zero-length 'trajectory' whose completion is a no-op, so the first
     scan step starts trajectory 1 cleanly.  The ChEES mean trajectory
-    time starts at the uniform-jitter mean, eps0 * budget / 2."""
+    LENGTH (leapfrog steps — step units track the moving step size, see
+    _run_chunk_flat) starts at the uniform-jitter mean, budget / 2."""
     z, U, grad, da, inv_mass, welford = chain_init
     zeros = jnp.zeros_like(z)
     i0 = jnp.zeros((), jnp.int32)
     f0 = jnp.zeros((), z.dtype)
-    ch = (da.log_eps + jnp.log(budget / 2.0), 0.5 + f0, f0, f0, f0)
+    ch = (jnp.log(budget / 2.0) + f0, 0.5 + f0, f0, f0, f0)
     return (z, U, grad, da, inv_mass, welford, z, zeros, U, grad, U,
             jnp.exp(da.log_eps), i0, i0, i0, ch)
 
@@ -783,10 +805,20 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
             sum(len(part["lp"]) for part in collected[c])
             for c in range(num_chains)])
         if trace:
+            ch_now = carry[15]
+            da_now = carry[3]
+            depth = np.asarray(hist["depth"])
+            realm = np.asarray(hist["real"])
+            mean_len = (
+                float(depth[realm].mean()) if realm.any() else float("nan"))
             print(
                 f"[hmc-flat] t={_time.time() - t_start:.0f}s "
                 f"leaps={leaps} post-warmup draws/chain min={done.min()} "
-                f"max={done.max()}", file=_sys.stderr, flush=True)
+                f"max={done.max()} nmean={float(np.exp(np.asarray(ch_now[0])).mean()):.3g} "
+                f"eps={float(np.exp(np.asarray(da_now.log_eps)).mean()):.3g} "
+                f"tidx={int(np.asarray(carry[14]).min())} "
+                f"len/traj={mean_len:.1f}",
+                file=_sys.stderr, flush=True)
 
     # debugging hook: final sampler state (adaptation diagnostics) —
     # host copies, so no device buffers stay pinned after sampling

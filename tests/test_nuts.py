@@ -237,6 +237,14 @@ def test_hmc_chees_trajectory_adaptation():
     # (0.4 * 800 = 320 here); the freeze regression gives exactly 0.
     adc = np.asarray(nuts.hmc_flat_sample._last_carry[15][4])
     assert (adc > 0.3 * 800).all(), adc
+    # the learned coordinate is trajectory LENGTH (leapfrog steps) with
+    # a 2-step floor, and draws are floored at 4 leapfrogs: the measured
+    # mixed-objective collapse (learned length below ONE step -> pure
+    # random walk, min ESS 7-10 — absorbing, since the ChEES gradient
+    # has no signal at sub-step lengths) must be structurally impossible
+    ln = np.asarray(nuts.hmc_flat_sample._last_carry[15][0])
+    assert (np.exp(ln) >= 2.0 - 1e-9).all(), ln
+    assert np.asarray(res["depth"]).min() >= 4
 
 
 def test_hmc_gp_posterior_matches_nuts(rng):
