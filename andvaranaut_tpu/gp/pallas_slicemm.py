@@ -30,6 +30,40 @@ _TN = 256
 _TK = 256
 
 
+def _pair_dot(a, b):
+    """One slice-pair product on the MXU, exact int32 result.
+
+    int8 operands take the int8->int32 MXU path.  bf16 operands (the
+    SAME 7-bit integer slice values, upcast) take the bf16->f32 path and
+    convert: a 256-chunk dot of 7-bit integers is <= 256*127^2 = 2^22 <
+    2^24, so the f32 result is exactly integral and the int32 convert is
+    lossless — bit-identical accumulation either way.  Which path wins
+    is a hardware question (ANDVARANAUT_MXU_DOT, benchmarks/mxu_rate.py):
+    the int8 kernels plateau at ~24% of the part's nominal 394 int8 TOPS
+    == ~50% of its bf16 rate, so if Mosaic schedules int8 dots on the
+    bf16 pipeline without the 2x, bf16 operands are free speed."""
+    p = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=(
+            jnp.int32 if a.dtype == jnp.int8 else jnp.float32),
+    )
+    return p if p.dtype == jnp.int32 else p.astype(jnp.int32)
+
+
+def _dot_bf16() -> bool:
+    import os
+
+    return os.environ.get("ANDVARANAUT_MXU_DOT", "int8") == "bf16"
+
+
+def _slice_operands(a_sl, dot_bf16: bool):
+    if not dot_bf16:
+        return a_sl
+    # exact upcast: slice values are integers in [-127, 127]
+    return [a.astype(jnp.bfloat16) for a in a_sl]
+
+
 def _two_sum(hi, lo, x):
     """Error-free (Knuth) accumulation of x into the (hi, lo) f32 pair."""
     s = hi + x
@@ -84,12 +118,7 @@ def _kernel(nslices, nk, lower_only, tmax, *refs):
     def _():
         for i in range(nslices):
             for j in range(nslices - i):
-                p = jax.lax.dot_general(
-                    a_refs[i][:], b_refs[j][:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                acc_refs[i + j][:] += p
+                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -145,12 +174,7 @@ def _syrk_kernel(nslices, nk, *refs):
     def _():
         for i in range(nslices):
             for j in range(nslices - i):
-                p = jax.lax.dot_general(
-                    a_refs[i][:], b_refs[j][:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                acc_refs[i + j][:] += p
+                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -209,12 +233,7 @@ def _syrk_sub_kernel(nslices, nk, *refs):
     def _():
         for i in range(nslices):
             for j in range(nslices - i):
-                p = jax.lax.dot_general(
-                    a_refs[i][:], b_refs[j][:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                acc_refs[i + j][:] += p
+                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -257,12 +276,12 @@ def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
     return _pallas_int_slice_syrk_sub_pair(
         Ahi, Alo, panel,
         nslices=precision.INT_NSLICES if nslices is None else nslices,
-        row_start=row_start)
+        row_start=row_start, dot_bf16=_dot_bf16())
 
 
-@partial(jax.jit, static_argnames=("nslices",))
+@partial(jax.jit, static_argnames=("nslices", "dot_bf16"))
 def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
-                                    row_start=None):
+                                    row_start=None, dot_bf16=False):
     """(Ahi, Alo) -= panel @ panel.T on live lower-triangle tiles, fused.
 
     The trailing matrix is carried as an (hi, lo) f32 pair (~2^-48
@@ -293,6 +312,8 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     if kp != k:
         a_sl = [jnp.pad(a, ((0, 0), (0, kp - k))) for a in a_sl]
         b_sl = [jnp.pad(b, ((0, kp - k), (0, 0))) for b in b_sl]
+    a_sl = _slice_operands(a_sl, dot_bf16)
+    b_sl = _slice_operands(b_sl, dot_bf16)
     nk = kp // _TK
     T = m // _TM
     pairs = [(i, j) for j in range(T - 1, -1, -1)
@@ -361,11 +382,12 @@ def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
     count OUTSIDE the jit so it is the compile-cache key."""
     return _pallas_int_slice_syrk_lower(
         A, nslices=precision.INT_NSLICES if nslices is None else nslices,
-        row_start=row_start)
+        row_start=row_start, dot_bf16=_dot_bf16())
 
 
-@partial(jax.jit, static_argnames=("nslices",))
-def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None):
+@partial(jax.jit, static_argnames=("nslices", "dot_bf16"))
+def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
+                                 dot_bf16=False):
     """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
 
     Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
@@ -396,6 +418,8 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None):
     if (mp, kp) != (m, k):
         a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
         b_sl = [jnp.pad(b, ((0, kp - k), (0, mp - m))) for b in b_sl]
+    a_sl = _slice_operands(a_sl, dot_bf16)
+    b_sl = _slice_operands(b_sl, dot_bf16)
     nk = kp // _TK
     T = mp // _TM
     # descending tile column, then descending row: dead pairs (tj wholly
@@ -450,13 +474,15 @@ def pallas_int_slice_matmul(A, B, nslices: int | None = None,
     count OUTSIDE the jit so it is the compile-cache key."""
     return _pallas_int_slice_matmul(
         A, B, nslices=precision.INT_NSLICES if nslices is None else nslices,
-        lower_only=lower_only, row_start=row_start, col_start=col_start)
+        lower_only=lower_only, row_start=row_start, col_start=col_start,
+        dot_bf16=_dot_bf16())
 
 
-@partial(jax.jit, static_argnames=("nslices", "lower_only"))
+@partial(jax.jit, static_argnames=("nslices", "lower_only", "dot_bf16"))
 def _pallas_int_slice_matmul(A, B, nslices: int,
                              lower_only: bool = False,
-                             row_start=None, col_start=None):
+                             row_start=None, col_start=None,
+                             dot_bf16=False):
     """C = A @ B via the fused integer-Ozaki Pallas kernel.
 
     Same scaling/slicing as precision.int_slice_matmul; the pair-product
@@ -490,6 +516,8 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
         a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
     if (kp, np_) != (k, n):
         b_sl = [jnp.pad(b, ((0, kp - k), (0, np_ - n))) for b in b_sl]
+    a_sl = _slice_operands(a_sl, dot_bf16)
+    b_sl = _slice_operands(b_sl, dot_bf16)
     nk = kp // _TK
     tm = mp // _TM
 

@@ -61,6 +61,47 @@ def _da_update(state: _DAState, accept_prob, target):
     return _DAState(log_eps, log_eps_bar, h_bar, state.mu, t)
 
 
+def _da_adam_init(eps0):
+    """ADAM step-size state (ChEES-HMC style), packed into _DAState:
+    h_bar -> first moment, mu -> second moment, t -> step count."""
+    return _DAState(
+        log_eps=jnp.log(eps0),
+        log_eps_bar=jnp.zeros_like(eps0),
+        h_bar=jnp.zeros_like(eps0),
+        mu=jnp.zeros_like(eps0),
+        t=jnp.zeros_like(eps0),
+    )
+
+
+def _da_adam_update(state: _DAState, accept_prob, target):
+    """Bounded ADAM ascent on log_eps toward the target acceptance
+    (Hoffman, Radul & Sountsov 2021 adapt step size this way).
+
+    Nesterov dual averaging multiplies the RUNNING MEAN acceptance
+    excess by sqrt(t)/gamma (~155 nats at t=60): a run of ~0
+    acceptances mid-warmup (a posterior funnel neck) drives log_eps
+    down by tens of nats and the recovery needs hundreds of
+    transitions a short warmup does not have — measured on the n=256
+    GP hyperposterior on TPU: one chain froze at eps=2e-16 and min ESS
+    collapsed to 1 (docs/TPU_NOTES.md).  ADAM's per-transition step is
+    bounded by lr (~0.05 nats), so the collapse state is not
+    absorbing; recovery is symmetric at the same rate."""
+    # b2=0.95 (short second-moment memory): after a rejection run flips
+    # to accepts, a long-memory v keeps the step normalised against the
+    # big |g|=0.8 rejection gradients and recovery crawls at ~lr/4
+    b1, b2, lr, kappa = 0.9, 0.95, 0.05, 0.75
+    t = state.t + 1.0
+    g = accept_prob - target  # ascent: accept too high -> grow eps
+    m = b1 * state.h_bar + (1.0 - b1) * g
+    v = b2 * state.mu + (1.0 - b2) * g * g
+    mhat = m / (1.0 - b1 ** t)
+    vhat = v / (1.0 - b2 ** t)
+    log_eps = state.log_eps + lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    wt = t ** (-kappa)
+    log_eps_bar = wt * log_eps + (1.0 - wt) * state.log_eps_bar
+    return _DAState(log_eps, log_eps_bar, m, v, t)
+
+
 def _leapfrog(z, r, grad, eps, inv_mass, U_and_grad):
     """One leapfrog step; grad is dU/dz at z (cached)."""
     r = r - 0.5 * eps * grad
@@ -441,11 +482,11 @@ def _run_chunk(carry, keys, step_start, logp_fn, num_warmup,
 
 @partial(jax.jit, static_argnames=(
     "logp_fn", "num_warmup", "budget", "chunk", "unroll", "adapt_tlen",
-    "w_fracs", "chees_sign"))
+    "w_fracs", "chees_sign", "eps_adam"))
 def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
                     budget, chunk, unroll: int = 1,
                     adapt_tlen: bool = False, w_fracs=(0.6,),
-                    chees_sign: bool = False):
+                    chees_sign: bool = False, eps_adam: bool = True):
     """Advance one chain by `chunk` LEAPFROGS (vmapped over chains by the
     caller): a flat scan over leapfrog steps with dynamic trajectory
     boundaries.
@@ -538,7 +579,8 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
         nsteps_done = nsteps  # completed trajectory's length, for stats
 
         in_warmup = tidx < num_warmup
-        da_new = _da_update(da, aprob, target_accept)
+        da_new = (_da_adam_update if eps_adam else _da_update)(
+            da, aprob, target_accept)
         da = jax.tree_util.tree_map(
             lambda a, b: jnp.where(real & in_warmup, a, b), da_new, da)
 
@@ -562,7 +604,8 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
         var = welford[2] / cnt
         var_reg = (cnt / (cnt + 5.0)) * var + 1e-3 * (5.0 / (cnt + 5.0))
         inv_mass = jnp.where(apply_mass, var_reg, inv_mass)
-        da_reset = _da_init(jnp.exp(da.log_eps))
+        da_reset = (_da_adam_init if eps_adam else _da_init)(
+            jnp.exp(da.log_eps))
         da = jax.tree_util.tree_map(
             lambda a, b: jnp.where(apply_mass, a, b), da_reset, da)
         # staged windows: the accumulator restarts in the new metric
@@ -688,13 +731,15 @@ def _run_chunk_flat(carry, keys, zbar, logp_fn, num_warmup, target_accept,
     return jax.lax.scan(step, carry, keys)
 
 
-def _flat_carry_init(chain_init, budget):
+def _flat_carry_init(chain_init, budget, eps_adam=True):
     """Extend an _init_chain carry with the flat-scan trajectory state:
     a zero-length 'trajectory' whose completion is a no-op, so the first
     scan step starts trajectory 1 cleanly.  The ChEES mean trajectory
     LENGTH (leapfrog steps — step units track the moving step size, see
     _run_chunk_flat) starts at the uniform-jitter mean, budget / 2."""
     z, U, grad, da, inv_mass, welford = chain_init
+    if eps_adam:
+        da = _da_adam_init(jnp.exp(da.log_eps))
     zeros = jnp.zeros_like(z)
     i0 = jnp.zeros((), jnp.int32)
     f0 = jnp.zeros((), z.dtype)
@@ -739,9 +784,12 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     import time as _time
 
     trace = bool(_os.environ.get("ANDVARANAUT_HMC_TRACE"))
+    # ADAM step-size adaptation (bounded updates — no dual-averaging
+    # funnel collapse, see _da_adam_update); env knob for A/B only
+    eps_adam = _os.environ.get("ANDVARANAUT_EPS_ADAM", "1") != "0"
     t0 = _time.time()
     init = jax.vmap(lambda k, z: _init_chain(k, z, logp_fn, dim))
-    carry = jax.vmap(lambda c: _flat_carry_init(c, budget))(
+    carry = jax.vmap(lambda c: _flat_carry_init(c, budget, eps_adam))(
         init(eps_keys, z_inits))
     jax.block_until_ready(carry)
     if trace:
@@ -761,7 +809,8 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     run = jax.vmap(
         lambda c, ks, zb: _run_chunk_flat(
             c, ks, zb, logp_fn, num_warmup, target_accept, budget,
-            leaps_per_call, unroll, adapt_tlen, w_fracs, chees_sign),
+            leaps_per_call, unroll, adapt_tlen, w_fracs, chees_sign,
+            eps_adam),
         in_axes=(0, 0, None))
     zbar = jnp.mean(z_inits, axis=0)
 

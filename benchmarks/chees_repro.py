@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("REPRO_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
@@ -71,6 +72,17 @@ def main():
         f"eps={np.exp(np.asarray(da.log_eps)).mean():.4g} "
         f"inv_mass mean={np.asarray(carry[4]).mean(0)}")
     print("per-var ESS:", {k: float(v) for k, v in ess.items()})
+    # per-chain state: catches a single stuck chain (NaN accept, H0=inf)
+    zf = np.asarray(carry[0])
+    Uf = np.asarray(carry[1])
+    acc = np.asarray(data.sample_stats["accept"])
+    dep = np.asarray(data.sample_stats["depth"])
+    for c in range(zf.shape[0]):
+        print(f"  chain {c}: U={Uf[c]:.4g} accept_mean={acc[c].mean():.3f} "
+              f"depth_mean={dep[c].mean():.1f} "
+              f"eps={np.exp(np.asarray(da.log_eps))[c]:.4g} "
+              f"nmean={np.exp(np.asarray(ch[0]))[c]:.4g} "
+              f"z={np.array2string(zf[c], precision=3)}")
 
 
 if __name__ == "__main__":

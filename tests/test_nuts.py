@@ -247,6 +247,65 @@ def test_hmc_chees_trajectory_adaptation():
     assert np.asarray(res["depth"]).min() >= 4
 
 
+def test_eps_adam_no_collapse_and_recovery():
+    """Step-size adaptation must survive a run of ~0 acceptances (a
+    posterior funnel neck) without an absorbing collapse.
+
+    Measured TPU failure (n=256 GP hyperposterior, 150+150): Nesterov
+    dual averaging multiplies the running-mean acceptance excess by
+    sqrt(t)/gamma, so ~60 rejections drove one chain's log_eps down by
+    ~100 nats (frozen at eps=2e-16 when warmup ended — min ESS 1,
+    rhat 6.8); recovery needs hundreds of transitions.  The hmc-flat
+    sampler therefore adapts with bounded ADAM updates (ChEES-HMC
+    style, _da_adam_update); this pins the mechanism."""
+    eps0 = jnp.asarray(0.1)
+    da = nuts._da_init(eps0)
+    ad = nuts._da_adam_init(eps0)
+    for _ in range(60):
+        da = nuts._da_update(da, jnp.asarray(0.0), 0.8)
+        ad = nuts._da_adam_update(ad, jnp.asarray(0.0), 0.8)
+    # DA collapses by ~100 nats; ADAM's excursion is bounded by ~lr * 60
+    assert float(da.log_eps) < np.log(0.1) - 25.0
+    lo = float(ad.log_eps)
+    assert lo > np.log(0.1) - 3.5, lo
+    # recovery moves back UP at a bounded rate; DA stays collapsed (and
+    # its primal average — the FROZEN post-warmup step size — with it)
+    for _ in range(60):
+        da = nuts._da_update(da, jnp.asarray(1.0), 0.8)
+        ad = nuts._da_adam_update(ad, jnp.asarray(1.0), 0.8)
+    assert float(ad.log_eps) > lo + 0.5, float(ad.log_eps)
+    assert float(da.log_eps) < np.log(0.1) - 10.0
+    assert float(da.log_eps_bar) < np.log(0.1) - 10.0
+
+
+def test_hmc_funnel_neck_start_samples():
+    """End-to-end guard for the same pathology: chains started deep in a
+    Neal-funnel neck with a SHORT warmup must end with a usable frozen
+    step size and actually traverse the funnel."""
+    d = 5
+
+    def logp(z):
+        v = z[0]
+        x = z[1:]
+        return (-0.5 * v * v / 9.0
+                - 0.5 * jnp.sum(x * x) * jnp.exp(-v) - 0.5 * (d - 1) * v)
+
+    z0 = np.zeros(d)
+    z0[0] = -6.0
+    res = nuts.hmc_flat_sample(
+        logp, jnp.asarray(z0), key=jax.random.PRNGKey(0), num_warmup=150,
+        num_samples=150, num_chains=4, max_treedepth=6, jitter_init=0.5,
+        shard=False, adapt_tlen=True)
+    da = nuts.hmc_flat_sample._last_carry[3]
+    eps_bar = np.exp(np.asarray(da.log_eps_bar))
+    assert (eps_bar > 1e-4).all(), eps_bar
+    v = np.asarray(res["z"])[:, :, 0]
+    # every chain must move through the funnel (a frozen chain has ~0
+    # spread); the pooled spread should be funnel-scale
+    assert (v.std(axis=1) > 0.5).all(), v.std(axis=1)
+    assert v.std() > 1.2
+
+
 def test_hmc_gp_posterior_matches_nuts(rng):
     """sampler='hmc' through sample_model agrees with NUTS on a GP
     hyperposterior (the TPU fallback must be a correct sampler, not just
