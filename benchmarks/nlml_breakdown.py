@@ -81,6 +81,82 @@ def main():
     nlml = jax.jit(lambda K, y: precision.mixed_nlml(K, y, block=BLOCK))
     _time("mixed_nlml end-to-end (from K)", nlml, K, y)
 
+    # ---- per-step component ladders (BD_LADDERS=diag,syrk,panel) ------
+    # Each ladder replays ONE component of every factorisation step
+    # inside a single jitted program, so per-step costs amortise the
+    # launch/program-swap overheads exactly as they do in production
+    # (docs/TPU_NOTES.md "Micro-benchmark trap": standalone stage numbers
+    # are inflated by cross-executable swaps on this service).
+    ladders = [
+        s for s in os.environ.get("BD_LADDERS", "").split(",") if s]
+    if ladders:
+        def _levels():
+            out, m = [], N
+            while True:
+                nbl = m // BLOCK
+                if nbl == 1:
+                    break
+                nsteps = max(-(-nbl // precision.CHOL_SHRINK), 1)
+                for j in range(nsteps):
+                    out.append((m, (j + 1) * BLOCK))
+                m -= nsteps * BLOCK
+                if m == 0:
+                    break
+            return out
+
+        levels = _levels()
+        nb = N // BLOCK
+
+        if "diag" in ladders:
+            @jax.jit
+            def diag_ladder(K):
+                acc = jnp.zeros(())
+                for j in range(nb):
+                    Ajj = jax.lax.dynamic_slice(
+                        K, (j * BLOCK, j * BLOCK), (BLOCK, BLOCK))
+                    Lj, Xj = precision._chol_inv_diag(
+                        Ajj, True, precision.DEFAULT_NSLICES)
+                    acc = acc + jnp.sum(jnp.diag(Lj)) + Xj[0, 0]
+                return acc
+
+            _time(f"diag chol+inv ladder x{nb}", diag_ladder, K)
+
+        if "panel" in ladders:
+            Linv0 = Dinv[0]
+
+            @jax.jit
+            def panel_ladder(K, Linv):
+                acc = jnp.zeros(())
+                for (m, rs) in levels:
+                    cols = jax.lax.dynamic_slice(K, (0, 0), (m, BLOCK))
+                    P = precision.slice_matmul(cols, Linv.T, row_start=rs)
+                    acc = acc + P[-1, -1]
+                return acc
+
+            _time(f"panel mm ladder x{len(levels)}", panel_ladder, K, Linv0)
+
+        if "syrk" in ladders:
+            from andvaranaut_tpu.gp import pallas_slicemm
+
+            Ah0 = K.astype(jnp.float32)
+            Al0 = (K - Ah0.astype(K.dtype)).astype(jnp.float32)
+            Pan = jnp.asarray(L[:, :BLOCK])
+
+            @jax.jit
+            def syrk_ladder(Ahi, Alo, Pan):
+                acc = jnp.zeros((), jnp.float32)
+                for (m, rs) in levels:
+                    ah = jax.lax.dynamic_slice(Ahi, (0, 0), (m, m))
+                    al = jax.lax.dynamic_slice(Alo, (0, 0), (m, m))
+                    pm = jax.lax.dynamic_slice(Pan, (0, 0), (m, BLOCK))
+                    nh, nl = pallas_slicemm.pallas_int_slice_syrk_sub_pair(
+                        ah, al, pm.astype(jnp.float64), row_start=rs)
+                    acc = acc + nh[-1, -1] + nl[-1, -1]
+                return acc
+
+            _time(f"syrk+sub ladder x{len(levels)}", syrk_ladder,
+                  Ah0, Al0, Pan)
+
     # free the 2 GB intermediates before compiling the full program
     del L, Dinv, K, Apan, Ljj
 
