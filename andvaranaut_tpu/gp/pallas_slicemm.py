@@ -57,6 +57,55 @@ def _dot_bf16() -> bool:
     return os.environ.get("ANDVARANAUT_MXU_DOT", "int8") == "bf16"
 
 
+def _acc_per_pair() -> bool:
+    """Accumulator structure knob (ANDVARANAUT_SYRK_ACC=order|pair).
+
+    'order' (default): slice-pair products of equal order i+j share one
+    int32 scratch — nslices scratches, but the shared `+=` makes a RAW
+    dependency chain up to (order+1)*nk dots deep per scratch.
+    'pair': every (i, j) pair gets its own scratch (npair = ns(ns+1)/2,
+    5.5 MB VMEM at 256-tiles/6 slices) and the order groups are summed
+    at combine time — maximum dot-level ILP, bit-identical results
+    (int32 addition is associative).  The synthetic probe
+    (benchmarks/mxu_rate.py) measured 19x from accumulator independence;
+    this knob tests whether the production kernel's 6-way grouping
+    still leaves MXU throughput on the table."""
+    import os
+
+    return os.environ.get("ANDVARANAUT_SYRK_ACC", "order") == "pair"
+
+
+def _pairs(nslices: int):
+    return [(i, j) for i in range(nslices) for j in range(nslices - i)]
+
+
+def _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs):
+    """One k-chunk of slice-pair MXU products into the scratches."""
+    if per_pair:
+        for idx, (i, j) in enumerate(_pairs(nslices)):
+            acc_refs[idx][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+    else:
+        for i in range(nslices):
+            for j in range(nslices - i):
+                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+
+
+def _order_group(nslices, per_pair, acc_refs, s):
+    """int32 sum of all slice-pair scratches of order s (exact)."""
+    if not per_pair:
+        return acc_refs[s][:]
+    members = [
+        idx for idx, (i, j) in enumerate(_pairs(nslices)) if i + j == s]
+    g = acc_refs[members[0]][:]
+    for idx in members[1:]:
+        g = g + acc_refs[idx][:]
+    return g
+
+
+def _n_scratch(nslices: int, per_pair: bool) -> int:
+    return len(_pairs(nslices)) if per_pair else nslices
+
+
 def _slice_operands(a_sl, dot_bf16: bool):
     if not dot_bf16:
         return a_sl
@@ -73,7 +122,7 @@ def _two_sum(hi, lo, x):
     return s, lo + comp
 
 
-def _kernel(nslices, nk, lower_only, tmax, *refs):
+def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
     """One (TM, TN) output tile; grid dim 2 iterates k-chunks.
 
     refs: bounds (2,) int32 scalar-prefetch [row_start, col_start], then
@@ -116,16 +165,14 @@ def _kernel(nslices, nk, lower_only, tmax, *refs):
 
     @pl.when(active)
     def _():
-        for i in range(nslices):
-            for j in range(nslices - i):
-                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs)
 
     @pl.when(kidx == nk - 1)
     def _():
         hi = jnp.zeros_like(hi_ref)
         lo = jnp.zeros_like(lo_ref)
         for s in range(nslices):
-            g = acc_refs[s][:]
+            g = _order_group(nslices, per_pair, acc_refs, s)
             # group sums exceed 2^24: split exactly in integer space so
             # each f32 conversion is lossless.  Arithmetic shifts (floor
             # semantics) in int32 — `// 4096` promotes through int64 under
@@ -140,7 +187,7 @@ def _kernel(nslices, nk, lower_only, tmax, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_kernel(nslices, nk, *refs):
+def _syrk_kernel(nslices, nk, per_pair, *refs):
     """Triangular-grid syrk tile: grid dim 0 walks a host-precomputed
     list of lower-triangle (ti, tj) tile pairs (scalar-prefetched index
     arrays — upper tiles are never visited, never DMA'd); grid dim 1
@@ -172,16 +219,14 @@ def _syrk_kernel(nslices, nk, *refs):
 
     @pl.when(active)
     def _():
-        for i in range(nslices):
-            for j in range(nslices - i):
-                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs)
 
     @pl.when(kidx == nk - 1)
     def _():
         hi = jnp.zeros_like(hi_ref)
         lo = jnp.zeros_like(lo_ref)
         for s in range(nslices):
-            g = acc_refs[s][:]
+            g = _order_group(nslices, per_pair, acc_refs, s)
             ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
             glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
             w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
@@ -192,7 +237,7 @@ def _syrk_kernel(nslices, nk, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_sub_kernel(nslices, nk, *refs):
+def _syrk_sub_kernel(nslices, nk, per_pair, *refs):
     """Triangular-grid fused trailing update: A_tile -= panel @ panel.T.
 
     Same slice-pair reduction and dynamic triangular grid as
@@ -231,9 +276,7 @@ def _syrk_sub_kernel(nslices, nk, *refs):
 
     @pl.when(active)
     def _():
-        for i in range(nslices):
-            for j in range(nslices - i):
-                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs)
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -242,7 +285,7 @@ def _syrk_sub_kernel(nslices, nk, *refs):
             chi = jnp.zeros_like(hi_ref)
             clo = jnp.zeros_like(lo_ref)
             for s in range(nslices):
-                g = acc_refs[s][:]
+                g = _order_group(nslices, per_pair, acc_refs, s)
                 ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
                 glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
                 w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
@@ -276,12 +319,14 @@ def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
     return _pallas_int_slice_syrk_sub_pair(
         Ahi, Alo, panel,
         nslices=precision.INT_NSLICES if nslices is None else nslices,
-        row_start=row_start, dot_bf16=_dot_bf16())
+        row_start=row_start, dot_bf16=_dot_bf16(),
+        per_pair=_acc_per_pair())
 
 
-@partial(jax.jit, static_argnames=("nslices", "dot_bf16"))
+@partial(jax.jit, static_argnames=("nslices", "dot_bf16", "per_pair"))
 def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
-                                    row_start=None, dot_bf16=False):
+                                    row_start=None, dot_bf16=False,
+                                    per_pair=False):
     """(Ahi, Alo) -= panel @ panel.T on live lower-triangle tiles, fused.
 
     The trailing matrix is carried as an (hi, lo) f32 pair (~2^-48
@@ -357,14 +402,15 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
         + [o_spec, o_spec, sa_spec, sb_spec],
         out_specs=(o_spec, o_spec),
         scratch_shapes=[
-            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
         ],
     )
     # flat input order: 3 scalar-prefetch, 2*nslices slice operands,
     # then Ahi, Alo (aliased to outputs 0, 1), sa, sb
     base = 3 + 2 * nslices
     nhi, nlo = pl.pallas_call(
-        partial(_syrk_sub_kernel, nslices, nk),
+        partial(_syrk_sub_kernel, nslices, nk, per_pair),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((m, m), jnp.float32),
@@ -382,12 +428,13 @@ def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
     count OUTSIDE the jit so it is the compile-cache key."""
     return _pallas_int_slice_syrk_lower(
         A, nslices=precision.INT_NSLICES if nslices is None else nslices,
-        row_start=row_start, dot_bf16=_dot_bf16())
+        row_start=row_start, dot_bf16=_dot_bf16(),
+        per_pair=_acc_per_pair())
 
 
-@partial(jax.jit, static_argnames=("nslices", "dot_bf16"))
+@partial(jax.jit, static_argnames=("nslices", "dot_bf16", "per_pair"))
 def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
-                                 dot_bf16=False):
+                                 dot_bf16=False, per_pair=False):
     """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
 
     Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
@@ -451,11 +498,12 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
         in_specs=[a_spec] * nslices + [b_spec] * nslices,
         out_specs=(o_spec, o_spec),
         scratch_shapes=[
-            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
         ],
     )
     hi, lo = pl.pallas_call(
-        partial(_syrk_kernel, nslices, nk),
+        partial(_syrk_kernel, nslices, nk, per_pair),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
@@ -475,14 +523,15 @@ def pallas_int_slice_matmul(A, B, nslices: int | None = None,
     return _pallas_int_slice_matmul(
         A, B, nslices=precision.INT_NSLICES if nslices is None else nslices,
         lower_only=lower_only, row_start=row_start, col_start=col_start,
-        dot_bf16=_dot_bf16())
+        dot_bf16=_dot_bf16(), per_pair=_acc_per_pair())
 
 
-@partial(jax.jit, static_argnames=("nslices", "lower_only", "dot_bf16"))
+@partial(jax.jit,
+         static_argnames=("nslices", "lower_only", "dot_bf16", "per_pair"))
 def _pallas_int_slice_matmul(A, B, nslices: int,
                              lower_only: bool = False,
                              row_start=None, col_start=None,
-                             dot_bf16=False):
+                             dot_bf16=False, per_pair=False):
     """C = A @ B via the fused integer-Ozaki Pallas kernel.
 
     Same scaling/slicing as precision.int_slice_matmul; the pair-product
@@ -551,11 +600,12 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
         in_specs=[a_spec] * nslices + [b_spec] * nslices,
         out_specs=(o_spec, o_spec),
         scratch_shapes=[
-            pltpu.VMEM((_TM, _TN), jnp.int32) for _ in range(nslices)
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
         ],
     )
     hi, lo = pl.pallas_call(
-        partial(_kernel, nslices, nk, lower_only, tm),
+        partial(_kernel, nslices, nk, lower_only, tm, per_pair),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, np_), jnp.float32),

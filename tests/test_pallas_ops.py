@@ -205,3 +205,34 @@ def test_gram_cross_disabled_is_exact(rng, monkeypatch):
     a = np.asarray(kernels.gram_cross(kerns, ops, X, X, l, kv, 1.3))
     b = np.asarray(kernels.gram(kerns, ops, X, X, l, kv, 1.3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_per_pair_accumulators_bit_identical(rng):
+    """ANDVARANAUT_SYRK_ACC=pair gives every slice-pair product its own
+    int32 scratch (max MXU ILP); int32 addition is associative, so all
+    three kernels must be BIT-identical to the order-grouped default."""
+    from andvaranaut_tpu.gp import pallas_slicemm as ps
+
+    A = jnp.asarray(rng.standard_normal((256, 256)))
+    B = jnp.asarray(rng.standard_normal((256, 256)))
+    C0 = ps._pallas_int_slice_matmul(A, B, nslices=6, per_pair=False)
+    C1 = ps._pallas_int_slice_matmul(A, B, nslices=6, per_pair=True)
+    np.testing.assert_array_equal(np.asarray(C0), np.asarray(C1))
+
+    P = jnp.asarray(rng.standard_normal((512, 256)))
+    tril = np.tril(np.ones((512, 512), bool))
+    S0 = np.asarray(ps._pallas_int_slice_syrk_lower(
+        P, nslices=6, per_pair=False))
+    S1 = np.asarray(ps._pallas_int_slice_syrk_lower(
+        P, nslices=6, per_pair=True))
+    np.testing.assert_array_equal(S0[tril], S1[tril])
+
+    Ah = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32))
+    Al = jnp.asarray(
+        (rng.standard_normal((512, 512)) * 1e-8).astype(np.float32))
+    h0, l0 = ps._pallas_int_slice_syrk_sub_pair(
+        Ah, Al, P, nslices=6, per_pair=False)
+    h1, l1 = ps._pallas_int_slice_syrk_sub_pair(
+        Ah, Al, P, nslices=6, per_pair=True)
+    np.testing.assert_array_equal(np.asarray(h0)[tril], np.asarray(h1)[tril])
+    np.testing.assert_array_equal(np.asarray(l0)[tril], np.asarray(l1)[tril])
