@@ -381,3 +381,23 @@ def test_sample_model_mixed_path(rng):
         np.testing.assert_allclose(
             np.asarray(m1[k]), np.asarray(m0[k]), rtol=0.35, atol=0.05,
             err_msg=k)
+
+
+def test_64_hmc_chains_sharded_over_mesh():
+    """The TPU production sampler (flat jittered/ChEES HMC) at the
+    BASELINE north-star chain count, device-sharded: 64 chains on the
+    8-device mesh, cross-chain ChEES pooling included."""
+    assert jax.device_count() == 8
+
+    def logp(z):
+        return -0.5 * jnp.sum((z - 1.5) ** 2 / 0.25)
+
+    res = nuts.hmc_flat_sample(
+        logp, jnp.zeros(2), key=jax.random.PRNGKey(5), num_warmup=150,
+        num_samples=150, num_chains=64, shard=True)
+    z = np.asarray(res["z"])
+    assert z.shape == (64, 150, 2)
+    rhat = nuts.split_rhat(z)
+    assert (rhat < 1.05).all()
+    assert abs(z.mean() - 1.5) < 0.05
+    assert abs(z.std() - 0.5) < 0.07
