@@ -1069,12 +1069,23 @@ def pcg_solve(K, b, L, Dinv=None, block: int = 256,
     return x
 
 
+#: refinement sweeps for the NLML quadratic-form solve (each costs one
+#: full L read per lower+upper pass).  Refinement stalls at the
+#: factorisation-residual floor anyway (TPU_NOTES "Large-N prediction"),
+#: so extra sweeps buy little once the factor grade dominates; knob for
+#: on-chip A/B.
+NLML_REFINE = int(_os.environ.get("ANDVARANAUT_NLML_REFINE", "2"))
+
+
 def mixed_nlml(K, y, block: int = 256, nslices: int = DEFAULT_NSLICES,
-               refine_iters: int = 2):
+               refine_iters: int | None = None):
     """Gaussian log marginal likelihood via the mixed-precision blocked
     factorisation.  The quadratic form uses iteratively-refined solves; the
     log-determinant comes from the factor diagonal."""
     import math
+
+    if refine_iters is None:
+        refine_iters = NLML_REFINE
 
     L, Dinv = blocked_cholesky(
         K, block=block, mixed=True, nslices=nslices, return_inv=True)
