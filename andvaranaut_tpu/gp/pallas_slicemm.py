@@ -57,6 +57,22 @@ def _dot_bf16() -> bool:
     return os.environ.get("ANDVARANAUT_MXU_DOT", "int8") == "bf16"
 
 
+def _tk() -> int:
+    """k-chunk depth of the slice kernels (ANDVARANAUT_TK, default 256).
+
+    The grid iterates k in _TK-deep chunks, so an output tile is
+    kp/_TK grid cells.  The ladder attribution (docs/TPU_NOTES.md)
+    measured ~5.3 us per cell against 1.79 us of ideal MXU work — the
+    gap is per-cell overhead (scratch init, combine pass on the last
+    chunk, grid sequencing), so at the factorisation's k=1024 a deeper
+    chunk amortises it up to 4x.  int32 dot accumulation stays exact to
+    k = 2^19 (k * 127^2 < 2^31) and the bf16 path to k = 2^24/127^2 ~
+    1040, so 1024 is safe for both."""
+    import os
+
+    return int(os.environ.get("ANDVARANAUT_TK", "256"))
+
+
 def _acc_per_pair() -> bool:
     """Accumulator structure knob (ANDVARANAUT_SYRK_ACC=order|pair).
 
@@ -320,13 +336,14 @@ def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
         Ahi, Alo, panel,
         nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
-        per_pair=_acc_per_pair())
+        per_pair=_acc_per_pair(), tk=_tk())
 
 
-@partial(jax.jit, static_argnames=("nslices", "dot_bf16", "per_pair"))
+@partial(jax.jit,
+         static_argnames=("nslices", "dot_bf16", "per_pair", "tk"))
 def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
                                     row_start=None, dot_bf16=False,
-                                    per_pair=False):
+                                    per_pair=False, tk=_TK):
     """(Ahi, Alo) -= panel @ panel.T on live lower-triangle tiles, fused.
 
     The trailing matrix is carried as an (hi, lo) f32 pair (~2^-48
@@ -353,13 +370,13 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     a_sl = precision._int_slices(panel / sA, nslices)
     b_sl = [a.T for a in a_sl]
 
-    kp = -(-k // _TK) * _TK
+    kp = -(-k // tk) * tk
     if kp != k:
         a_sl = [jnp.pad(a, ((0, 0), (0, kp - k))) for a in a_sl]
         b_sl = [jnp.pad(b, ((0, kp - k), (0, 0))) for b in b_sl]
     a_sl = _slice_operands(a_sl, dot_bf16)
     b_sl = _slice_operands(b_sl, dot_bf16)
-    nk = kp // _TK
+    nk = kp // tk
     T = m // _TM
     pairs = [(i, j) for j in range(T - 1, -1, -1)
              for i in range(T - 1, j - 1, -1)]
@@ -379,10 +396,10 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
         sA.reshape(1, -1).astype(jnp.float32), (8, m))
 
     a_spec = pl.BlockSpec(
-        (_TM, _TK), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
+        (_TM, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
         memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec(
-        (_TK, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+        (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
         memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec(
         (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
@@ -429,12 +446,13 @@ def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
     return _pallas_int_slice_syrk_lower(
         A, nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
-        per_pair=_acc_per_pair())
+        per_pair=_acc_per_pair(), tk=_tk())
 
 
-@partial(jax.jit, static_argnames=("nslices", "dot_bf16", "per_pair"))
+@partial(jax.jit,
+         static_argnames=("nslices", "dot_bf16", "per_pair", "tk"))
 def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
-                                 dot_bf16=False, per_pair=False):
+                                 dot_bf16=False, per_pair=False, tk=_TK):
     """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
 
     Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
@@ -461,13 +479,13 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
     b_sl = [a.T for a in a_sl]
 
     mp = -(-m // _TM) * _TM
-    kp = -(-k // _TK) * _TK
+    kp = -(-k // tk) * tk
     if (mp, kp) != (m, k):
         a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
         b_sl = [jnp.pad(b, ((0, kp - k), (0, mp - m))) for b in b_sl]
     a_sl = _slice_operands(a_sl, dot_bf16)
     b_sl = _slice_operands(b_sl, dot_bf16)
-    nk = kp // _TK
+    nk = kp // tk
     T = mp // _TM
     # descending tile column, then descending row: dead pairs (tj wholly
     # below row_start) form the suffix for ANY row_start value
@@ -484,10 +502,10 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
         tgrid = jnp.maximum((kliv * (kliv + 1)) // 2, 1)
 
     a_spec = pl.BlockSpec(
-        (_TM, _TK), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
+        (_TM, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
         memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec(
-        (_TK, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+        (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
         memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec(
         (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
@@ -523,15 +541,16 @@ def pallas_int_slice_matmul(A, B, nslices: int | None = None,
     return _pallas_int_slice_matmul(
         A, B, nslices=precision.INT_NSLICES if nslices is None else nslices,
         lower_only=lower_only, row_start=row_start, col_start=col_start,
-        dot_bf16=_dot_bf16(), per_pair=_acc_per_pair())
+        dot_bf16=_dot_bf16(), per_pair=_acc_per_pair(), tk=_tk())
 
 
 @partial(jax.jit,
-         static_argnames=("nslices", "lower_only", "dot_bf16", "per_pair"))
+         static_argnames=(
+             "nslices", "lower_only", "dot_bf16", "per_pair", "tk"))
 def _pallas_int_slice_matmul(A, B, nslices: int,
                              lower_only: bool = False,
                              row_start=None, col_start=None,
-                             dot_bf16=False, per_pair=False):
+                             dot_bf16=False, per_pair=False, tk=_TK):
     """C = A @ B via the fused integer-Ozaki Pallas kernel.
 
     Same scaling/slicing as precision.int_slice_matmul; the pair-product
@@ -560,14 +579,14 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
 
     mp = -(-m // _TM) * _TM
     np_ = -(-n // _TN) * _TN
-    kp = -(-k // _TK) * _TK
+    kp = -(-k // tk) * tk
     if (mp, kp) != (m, k):
         a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
     if (kp, np_) != (k, n):
         b_sl = [jnp.pad(b, ((0, kp - k), (0, np_ - n))) for b in b_sl]
     a_sl = _slice_operands(a_sl, dot_bf16)
     b_sl = _slice_operands(b_sl, dot_bf16)
-    nk = kp // _TK
+    nk = kp // tk
     tm = mp // _TM
 
     bounds = jnp.stack([
@@ -586,10 +605,10 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
         rs_t = jax.lax.div(b[0], np.int32(_TM))
         return jnp.minimum(i + rs_t, np.int32(tm - 1))
 
-    a_spec = pl.BlockSpec((_TM, _TK),
+    a_spec = pl.BlockSpec((_TM, tk),
                           lambda i, j, kk, b: (_row(i, b), kk),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((_TK, _TN), lambda i, j, kk, b: (kk, j),
+    b_spec = pl.BlockSpec((tk, _TN), lambda i, j, kk, b: (kk, j),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((_TM, _TN),
                           lambda i, j, kk, b: (_row(i, b), j),
