@@ -73,6 +73,13 @@ def _tk() -> int:
     return int(os.environ.get("ANDVARANAUT_TK", "256"))
 
 
+def _tk_for(k: int) -> int:
+    """Requested k-chunk clamped to the operand's padded k: a deep
+    default must not PAD small-k calls (the 512-grain composition
+    matmuls would double their dot work at tk=1024)."""
+    return min(_tk(), max(-(-int(k) // 256) * 256, 256))
+
+
 def _acc_per_pair() -> bool:
     """Accumulator structure knob (ANDVARANAUT_SYRK_ACC=order|pair).
 
@@ -336,7 +343,7 @@ def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
         Ahi, Alo, panel,
         nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
-        per_pair=_acc_per_pair(), tk=_tk())
+        per_pair=_acc_per_pair(), tk=_tk_for(panel.shape[1]))
 
 
 @partial(jax.jit,
@@ -446,7 +453,7 @@ def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
     return _pallas_int_slice_syrk_lower(
         A, nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
-        per_pair=_acc_per_pair(), tk=_tk())
+        per_pair=_acc_per_pair(), tk=_tk_for(A.shape[1]))
 
 
 @partial(jax.jit,
@@ -541,7 +548,8 @@ def pallas_int_slice_matmul(A, B, nslices: int | None = None,
     return _pallas_int_slice_matmul(
         A, B, nslices=precision.INT_NSLICES if nslices is None else nslices,
         lower_only=lower_only, row_start=row_start, col_start=col_start,
-        dot_bf16=_dot_bf16(), per_pair=_acc_per_pair(), tk=_tk())
+        dot_bf16=_dot_bf16(), per_pair=_acc_per_pair(),
+        tk=_tk_for(A.shape[1]))
 
 
 @partial(jax.jit,
