@@ -62,15 +62,18 @@ def _tk() -> int:
 
     The grid iterates k in _TK-deep chunks, so an output tile is
     kp/_TK grid cells.  The ladder attribution (docs/TPU_NOTES.md)
-    measured ~5.3 us per cell against 1.79 us of ideal MXU work — the
-    gap is per-cell overhead (scratch init, combine pass on the last
-    chunk, grid sequencing), so at the factorisation's k=1024 a deeper
-    chunk amortises it up to 4x.  int32 dot accumulation stays exact to
-    k = 2^19 (k * 127^2 < 2^31) and the bf16 path to k = 2^24/127^2 ~
-    1040, so 1024 is safe for both."""
+    measured ~5.3 us per cell against 1.79 us of ideal MXU work; part
+    of the gap is per-cell overhead (scratch init, combine pass on the
+    last chunk, grid sequencing), which a deeper chunk amortises.
+    Measured A/B on the 16384x1024 syrk (bit-identical C): tk=256
+    60.7 ms / 512 58.9 / 1024 55.6 — 1024 is the default.  int32 dot
+    accumulation stays exact to k = 2^19 (k * 127^2 < 2^31) and the
+    bf16 path to k = 2^24/127^2 ~ 1040, so 1024 is safe for both;
+    _tk_for clamps to the operand's padded k so small-k calls never
+    pad."""
     import os
 
-    return int(os.environ.get("ANDVARANAUT_TK", "256"))
+    return int(os.environ.get("ANDVARANAUT_TK", "1024"))
 
 
 def _tk_for(k: int) -> int:
