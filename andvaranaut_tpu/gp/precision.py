@@ -336,6 +336,18 @@ SEED_REFINE_ITERS = int(_os.environ.get("ANDVARANAUT_SEED_REFINE", "2"))
 FUSED_CHOL = int(_os.environ.get("ANDVARANAUT_FUSED_CHOL", "1"))
 
 
+def _use_fast_diag() -> bool:
+    """True when a diagonal block would take the fused-pair or seeded
+    path (rather than emulated-f64 chol) — used to decide whether the
+    single-block small-n factorisation is worth padding to their 128
+    grain."""
+    from .._config import is_tpu
+
+    if FUSED_CHOL == 2 or SEED_CHOL == 2:
+        return True
+    return is_tpu() and (FUSED_CHOL == 1 or SEED_CHOL == 1)
+
+
 def _pow2_sqrt_scales(v):
     """Exact power-of-two scales ~ sqrt(v): 2^((e+1)>>1) from the f32
     exponent field (emulated-f64 log2/exp2 are inexact on TPU; the
@@ -786,6 +798,21 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
     """
     n0 = K.shape[0]
     if n0 <= block:
+        if return_inv and mixed and _use_fast_diag():
+            # single-block factorisation: route through the fused pair
+            # kernel / seeded path instead of the emulated-f64 chol.
+            # This is the leapfrog-dominating cost of small-n GP MCMC on
+            # TPU (n=256: ~16 ms of emulated-f64 chol per objective
+            # evaluation vs ~1.5 ms for one fused Mosaic call).  Shapes
+            # off the 128 grain are identity-padded — exact:
+            # chol([[K,0],[0,I]]) = [[chol(K),0],[0,I]] and likewise for
+            # the inverse, so the slice-back loses nothing.
+            bp = max(-(-n0 // 128) * 128, 256)
+            Kp = (
+                K if bp == n0
+                else jnp.eye(bp, dtype=K.dtype).at[:n0, :n0].set(K))
+            L, Linv = _chol_inv_diag(Kp, True, nslices)
+            return L[:n0, :n0], Linv[:n0, :n0][None]
         L = _chol_f64(K)
         if return_inv:
             return L, tri_inv_mixed(L, nslices=nslices)[None]
@@ -902,7 +929,17 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
         Lcol = jnp.where(
             row_idx >= lo + block,
             jax.lax.dynamic_slice(L, (0, lo), (n, block)), 0.0)
-        r = r - mm(Lcol, xj)
+        if mixed and not squeeze:
+            # residual rows above the trailing blocks are never read
+            # again (step j' > j only reads rows >= lo + block, and the
+            # returned solution is assembled from the xj's) — tell the
+            # kernel so its dynamic grid never visits those row tiles.
+            # Their r entries become UNDEFINED, which is fine by the
+            # same argument; halves the solve's MXU work on average.
+            r = r - slice_matmul(Lcol, xj, nslices=nslices,
+                                 row_start=lo + block)
+        else:
+            r = r - mm(Lcol, xj)
         return r, x
 
     _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))

@@ -1222,11 +1222,16 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         # value+grad objective (block=512 at n=2048 was 18% SLOWER
         # end-to-end despite the bare NLML preferring larger blocks —
         # the gradient pipeline's inverse/contraction stages scale
-        # differently; docs/TPU_NOTES.md)
+        # differently; docs/TPU_NOTES.md).  At n <= 512 a single-block
+        # factorisation wins outright: blocked_cholesky routes it
+        # through ONE fused pair-kernel call (vs per-step emulated-f64
+        # chols + panel/syrk machinery), and the gradient pipeline
+        # reuses its stored inverse directly.
+        block = n if n <= 512 else min(256, max(32, n // 2))
         rvpack, nlp = bigfit.make_mixed_objective(
             xin, yin, kerns=cfg.kerns, ops=cfg.ops, noise=cfg.noise,
             truncate=cfg.truncate, jitter=cfg.jitter,
-            block=min(256, max(32, n // 2)))
+            block=block)
     else:
         rvpack, nlp = engine.build_objective(cfg)
     z0 = rvpack.z0()

@@ -476,3 +476,54 @@ def test_pair_carry_nlml_parity(rng, monkeypatch):
     nlml = float(precision.mixed_nlml(K, y, block=256))
     ref = float(engine.chol_nlml(K, y))
     assert abs(nlml - ref) / abs(ref) < 1e-6, (nlml, ref)
+
+
+def test_small_n_single_block_fused_cholesky(rng, monkeypatch):
+    """n <= block routes through the fused pair kernel (forced on CPU):
+    one factor+inverse call instead of emulated-f64 chol — the
+    leapfrog-dominating cost of small-n GP MCMC on TPU.  Shapes off the
+    128 grain are identity-padded and sliced back exactly."""
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    for n in (256, 250):
+        K = _spd(n, rng) + 1e-4 * np.eye(n)
+        L, Dinv = precision.blocked_cholesky(
+            jnp.asarray(K), block=512, return_inv=True)
+        L = np.asarray(L)
+        Dinv = np.asarray(Dinv)
+        assert L.shape == (n, n) and Dinv.shape == (1, n, n)
+        L0 = np.linalg.cholesky(K)
+        rel = np.abs(L - L0).max() / np.abs(L0).max()
+        assert rel < 1e-9, rel  # double-f32 pair grade
+        R = Dinv[0] @ L - np.eye(n)
+        assert np.abs(R).max() < 1e-8, np.abs(R).max()
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_bigfit_single_block_grad_parity(rng, monkeypatch):
+    """block >= n: the gradient pipeline reuses the stored single-block
+    inverse (Linv = Dinv[0]) — value AND gradient must still match
+    autodiff of the exact f64 NLML."""
+    import jax
+
+    from andvaranaut_tpu.gp import bigfit, kernels
+
+    monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    n, nx = 96, 2  # identity-pads to the 256 fused grain inside
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
+
+    def exact_logl(z):
+        gv = jnp.exp(z[0])
+        l = jnp.exp(z[1:1 + nx])
+        kv = jnp.exp(z[1 + nx:2 + nx])
+        K = kernels.gram(("RBF",), (), jnp.asarray(X), None, l, kv, None)
+        K = K + (1e-6 + gv) * jnp.eye(n)
+        return engine.chol_nlml(K, jnp.asarray(y))
+
+    z = jnp.asarray([-6.0, -0.5, -0.4, -0.3])
+    v0 = float(exact_logl(z))
+    g0 = np.asarray(jax.grad(exact_logl)(z))
+    v1, g1 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, kerns=("RBF",), block=128)
+    np.testing.assert_allclose(float(v1), v0, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g1), g0, rtol=1e-5, atol=5e-6)
