@@ -95,14 +95,21 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     if Dinv.shape[0] == 1 and Dinv.shape[1] == n:
         Linv = Dinv[0]
     else:
-        Linv = precision.blocked_solve_lower(L, eye, block=block, Dinv=Dinv)
+        Linv = precision.blocked_solve_lower(L, eye, block=block, Dinv=Dinv,
+                                             rhs_lower=True)
     # K^-1 is symmetric: compute lower TILE-tiles only through the
     # triangular-grid syrk (half the MXU work of the full square
-    # product) and mirror — a few elementwise passes (~0.1 s at 16k)
-    # against ~0.35 s of saved slice products.
-    C = precision.slice_syrk_lower(Linv.T)
-    Cl = jnp.tril(C, -1)
-    Kinv = Cl + Cl.T + jnp.diag(jnp.diag(C))
+    # product).  The full mirrored matrix is NEVER materialised — the
+    # contraction scan below assembles each (n, gb) column block from
+    # C's tile-lower half directly (lower part from C's columns, upper
+    # part from C's rows transposed; diagonal tiles are computed in
+    # full by the kernel so either source is valid there).  At 16k the
+    # mirror would be two extra n^2 f64 buffers (~4 GB) on a chip the
+    # whole-matrix reverse pass already OOMed once.  tril makes L^-1's
+    # upper triangle EXACTLY zero (one fused elementwise pass) so the
+    # syrk's a_upper k-chunk skip is exact by construction.
+    Linv = jnp.tril(Linv)
+    C = precision.slice_syrk_lower(Linv.T, a_upper=True)
 
     # All hyperparameter gradients via reverse AD of the ELEMENTWISE Gram
     # assembly with a and K^-1 held constant:
@@ -113,7 +120,7 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     # reverse pass peaked at 18.5G HBM at 16k (per-dim difference
     # residuals + cotangent accumulators), OOMing the 16G chip.
     a_c = jax.lax.stop_gradient(alpha_vec)
-    Kinv_c = jax.lax.stop_gradient(Kinv)
+    C_c = jax.lax.stop_gradient(C)
     gb = min(2048, n)
     npad_cols = -(-n // gb) * gb
     nblocks = npad_cols // gb
@@ -122,7 +129,12 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     # stay at their true size n
     Xp = jnp.pad(X, ((0, npad_cols - n), (0, 0)))
     ap = jnp.pad(a_c, (0, npad_cols - n))
-    Kinvp = jnp.pad(Kinv_c, ((0, 0), (0, npad_cols - n)))
+    # C needs rows AND cols padded: each scan step reads a column block
+    # (lower half of K^-1) and a row block (transposed upper half)
+    Cp = jnp.pad(C_c, ((0, npad_cols - n), (0, npad_cols - n)))
+    # tile grain of the syrk kernel's defined-lower contract (the CPU
+    # path returns the full product, for which either branch is valid)
+    _TG = 256
 
     def gram_cols(zz, XB, s):
         """Columns [s, s+gb) of K(zz) incl. the (jitter+gv) diagonal."""
@@ -139,7 +151,14 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     def block_term(carry, s):
         XB = jax.lax.dynamic_slice(Xp, (s, 0), (gb, nx))
         aB = jax.lax.dynamic_slice(ap, (s,), (gb,))
-        KinvB = jax.lax.dynamic_slice(Kinvp, (0, s), (n, gb))
+        # K^-1 column block assembled from the tile-lower syrk output:
+        # rows in tiles >= the column tile come from C's columns, the
+        # rest from C's rows transposed (diagonal tiles are computed in
+        # full, so the >= branch is valid there).
+        CB = jax.lax.dynamic_slice(Cp, (0, s), (n, gb))
+        CRB = jax.lax.dynamic_slice(Cp, (s, 0), (gb, n)).T
+        col_tile = (s + jnp.arange(gb))[None, :] // _TG
+        KinvB = jnp.where(row_ids // _TG >= col_tile, CB, CRB)
         # zero weights on padded phantom columns
         col_ids = s + jnp.arange(gb)
         WB = jnp.where(
@@ -270,6 +289,7 @@ def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
         else np.asarray(rvpack.z0()))
     rng = np.random.default_rng(seed)
     best = None
+    last_err = None
     for r in range(max(1, restarts)):
         zr = z0 if r == 0 else rng.normal(size=rvpack.total)
         try:
@@ -281,12 +301,21 @@ def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
             res = minimize(fun, zr, jac=True, method="L-BFGS-B",
                            bounds=bounds,
                            options={"maxiter": maxiter, "ftol": ftol})
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — restart loop: a start may
+            # legitimately fail (line-search collapse at a bad init);
+            # keep the error so an all-starts failure names its cause
+            # instead of hiding a compile/runtime bug.
+            last_err = e
+            import traceback
+
+            print(f"big_map_fit: start {r} failed: {e!r}")
+            traceback.print_exc()
             continue
         if np.isfinite(res.fun) and (best is None or res.fun < best.fun):
             best = res
     if best is None:
-        raise RuntimeError("mixed-precision MAP failed from all starts")
+        raise RuntimeError(
+            "mixed-precision MAP failed from all starts") from last_err
     vals = rvpack.unpack(jnp.asarray(best.x))
     hypers = {k: np.asarray(v) for k, v in vals.items()}
     if "gv" in hypers:

@@ -274,13 +274,24 @@ def chol_inv_block_pair(Ajj):
     As = Ajj / d[:, None] / d[None, :]
     ah = As.astype(jnp.float32)
     al = (As - ah.astype(As.dtype)).astype(jnp.float32)
+    # grid=(1,) with explicit np.int32 index maps, NOT a gridless call:
+    # under jax.vmap (chains of the small-n MCMC objective) the pallas
+    # batching rule composes new index maps by evaluating the existing
+    # ones and prepending the batch index — a gridless spec's implicit
+    # map returns literal-0 constants that trace as i64 under x64, which
+    # Mosaic rejects at func.return (measured on-chip: the n=256 HMC
+    # init failed to legalize `func.return (i32, i64, i64)`).  With
+    # int32 zeros here the composed maps are all-i32 and legalise.
+    _z2 = lambda i: (np.int32(0), np.int32(0))
     lh, ll, xh, xl = pl.pallas_call(
         partial(_kernel, b),
+        grid=(1,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, b), jnp.float32) for _ in range(4)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec((b, b), _z2, memory_space=pltpu.VMEM)] * 2,
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+            pl.BlockSpec((b, b), _z2, memory_space=pltpu.VMEM)
+            for _ in range(4)),
         interpret=interpret_mode(),
     )(ah, al)
     L = lh.astype(Ajj.dtype) + ll.astype(Ajj.dtype)

@@ -66,14 +66,21 @@ def _tk() -> int:
     of the gap is per-cell overhead (scratch init, combine pass on the
     last chunk, grid sequencing), which a deeper chunk amortises.
     Measured A/B on the 16384x1024 syrk (bit-identical C): tk=256
-    60.7 ms / 512 58.9 / 1024 55.6 — 1024 is the default.  int32 dot
-    accumulation stays exact to k = 2^19 (k * 127^2 < 2^31) and the
-    bf16 path to k = 2^24/127^2 ~ 1040, so 1024 is safe for both;
+    60.7 ms / 512 58.9 / 1024 55.6.  But the END-TO-END headline bench
+    REGRESSES at 1024: 675.8 ms (and an independent 634.1 ms run at
+    REFINE=1) vs 519.98 ms at 256 — the standalone 8% does not survive
+    inside the factorisation, where the syrk k equals the panel width
+    and the in-place pair-carry kernel's 4x-deeper input windows
+    evidently cost more in VMEM pressure/pipelining than the per-cell
+    overhead they amortise (the micro-benchmark-trap moral again:
+    docs/TPU_NOTES.md).  Default stays 256; the knob remains for
+    re-testing.  int32 dot accumulation stays exact to k = 2^19
+    (k * 127^2 < 2^31) and the bf16 path to k = 2^24/127^2 ~ 1040;
     _tk_for clamps to the operand's padded k so small-k calls never
     pad."""
     import os
 
-    return int(os.environ.get("ANDVARANAUT_TK", "1024"))
+    return int(os.environ.get("ANDVARANAUT_TK", "256"))
 
 
 def _tk_for(k: int) -> int:
@@ -151,9 +158,10 @@ def _two_sum(hi, lo, x):
 def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
     """One (TM, TN) output tile; grid dim 2 iterates k-chunks.
 
-    refs: bounds (2,) int32 scalar-prefetch [row_start, col_start], then
-    a_0..a_{ns-1} (TM, TK) int8, b_0..b_{ns-1} (TK, TN) int8,
-    hi/lo (TM, TN) f32 outputs, then ns (TM, TN) int32 group scratches.
+    refs: bounds (3,) int32 scalar-prefetch [row_start, col_start,
+    col_end], then a_0..a_{ns-1} (TM, TK) int8, b_0..b_{ns-1} (TK, TN)
+    int8, hi/lo (TM, TN) f32 outputs, then ns (TM, TN) int32 group
+    scratches.
 
     Dead tile ROWS (wholly above row_start) are NEVER VISITED: grid
     dim 0 is dynamic and the row index maps add the row_start tile
@@ -165,6 +173,9 @@ def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
       updates whose consumers only read the lower triangle;
     - col_start (dynamic): output cols below this global index are zero
       or discarded by the caller;
+    - col_end (dynamic): output cols at/above this global index are
+      known exact zeros (the caller's B operand is zero there — e.g.
+      the triangular identity solve's residual updates);
     - the clamped single row of an all-dead call (row_start >= m).
     """
     bounds_ref = refs[0]
@@ -184,8 +195,10 @@ def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
         for acc in acc_refs:
             acc[:] = jnp.zeros_like(acc)
 
-    active = ((ti + jnp.int32(1)) * jnp.int32(_TM) > bounds_ref[0]) & (
-        (tj + jnp.int32(1)) * jnp.int32(_TN) > bounds_ref[1])
+    active = (
+        ((ti + jnp.int32(1)) * jnp.int32(_TM) > bounds_ref[0])
+        & ((tj + jnp.int32(1)) * jnp.int32(_TN) > bounds_ref[1])
+        & (tj * jnp.int32(_TN) < bounds_ref[2]))
     if lower_only:
         active = active & (ti >= tj)
 
@@ -213,11 +226,16 @@ def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_kernel(nslices, nk, per_pair, *refs):
+def _syrk_kernel(nslices, nk, per_pair, tk, a_upper, *refs):
     """Triangular-grid syrk tile: grid dim 0 walks a host-precomputed
     list of lower-triangle (ti, tj) tile pairs (scalar-prefetched index
     arrays — upper tiles are never visited, never DMA'd); grid dim 1
     iterates k-chunks.  Same slice-pair reduction as _kernel.
+
+    a_upper (static): the CALLER GUARANTEES operand rows i are zero at
+    k < i (A upper-triangular — e.g. L^-T in the K^-1 product); k-chunks
+    wholly left of the pair's row tile contribute exact zeros and skip
+    the MXU (~2/3 of the dense chunk work for a full triangle).
 
     refs: i_arr, j_arr (nT,) i32, rs (1,) i32 row_start — all scalar
     prefetch — then a/b slice tiles, hi/lo outputs, int32 scratches."""
@@ -242,6 +260,12 @@ def _syrk_kernel(nslices, nk, per_pair, *refs):
     # dead suffix — this predicate only covers the clamped t=0 cell of
     # an all-dead call (it then writes exact zeros).
     active = (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0]
+    if a_upper:
+        # pair list has ti >= tj, so the first live chunk is at ti's
+        # tile: chunks wholly below it multiply exact-zero operand rows
+        active = active & (
+            (kidx + jnp.int32(1)) * jnp.int32(tk)
+            > i_ref[t] * jnp.int32(_TM))
 
     @pl.when(active)
     def _():
@@ -450,19 +474,22 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
 
 
 def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
-                                row_start=None):
+                                row_start=None, a_upper: bool = False):
     """See _pallas_int_slice_syrk_lower; resolves the configurable slice
     count OUTSIDE the jit so it is the compile-cache key."""
     return _pallas_int_slice_syrk_lower(
         A, nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
-        per_pair=_acc_per_pair(), tk=_tk_for(A.shape[1]))
+        per_pair=_acc_per_pair(), tk=_tk_for(A.shape[1]),
+        a_upper=a_upper)
 
 
 @partial(jax.jit,
-         static_argnames=("nslices", "dot_bf16", "per_pair", "tk"))
+         static_argnames=(
+             "nslices", "dot_bf16", "per_pair", "tk", "a_upper"))
 def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
-                                 dot_bf16=False, per_pair=False, tk=_TK):
+                                 dot_bf16=False, per_pair=False, tk=_TK,
+                                 a_upper=False):
     """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
 
     Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
@@ -479,7 +506,11 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
     [row_start, m)) is a prefix, and a DYNAMIC grid dimension stops at
     its length: the dead cells' DMA, MXU work and grid sequencing all
     vanish.  Unvisited output tiles are UNDEFINED (not zero): consumers
-    must mask on `tril_tiles & (col >= row_start)`."""
+    must mask on `tril_tiles & (col >= row_start)`.
+
+    a_upper (static): caller guarantees A[i, k] == 0 for k < i (upper-
+    triangular operand, e.g. L^-T): k-chunks wholly left of a pair's
+    row tile skip the MXU — exact, ~2/3 of the dense chunk work."""
     out_dtype = A.dtype
     m, k = A.shape
     B = A.T
@@ -531,7 +562,7 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
         ],
     )
     hi, lo = pl.pallas_call(
-        partial(_syrk_kernel, nslices, nk, per_pair),
+        partial(_syrk_kernel, nslices, nk, per_pair, tk, a_upper),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
@@ -545,12 +576,14 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
 
 def pallas_int_slice_matmul(A, B, nslices: int | None = None,
                             lower_only: bool = False,
-                            row_start=None, col_start=None):
+                            row_start=None, col_start=None,
+                            col_end=None):
     """See _pallas_int_slice_matmul; resolves the configurable slice
     count OUTSIDE the jit so it is the compile-cache key."""
     return _pallas_int_slice_matmul(
         A, B, nslices=precision.INT_NSLICES if nslices is None else nslices,
         lower_only=lower_only, row_start=row_start, col_start=col_start,
+        col_end=col_end,
         dot_bf16=_dot_bf16(), per_pair=_acc_per_pair(),
         tk=_tk_for(A.shape[1]))
 
@@ -561,6 +594,7 @@ def pallas_int_slice_matmul(A, B, nslices: int | None = None,
 def _pallas_int_slice_matmul(A, B, nslices: int,
                              lower_only: bool = False,
                              row_start=None, col_start=None,
+                             col_end=None,
                              dot_bf16=False, per_pair=False, tk=_TK):
     """C = A @ B via the fused integer-Ozaki Pallas kernel.
 
@@ -579,6 +613,12 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
       products do).
     - col_start (dynamic i32 scalar): output cols below this index are
       zeroed tile-wise (tiles wholly below skip the MXU).
+    - col_end (dynamic i32 scalar): the CALLER GUARANTEES output cols
+      at/above this index are exact zeros (B's columns there are zero);
+      tiles wholly at/above skip the MXU and write exact zeros.  The
+      triangular identity solve's residual updates use this — their
+      solution panels are exactly zero right of the current block
+      column, so each update only pays for its live lower-left corner.
     """
     out_dtype = A.dtype
     m, k = A.shape
@@ -603,6 +643,7 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
     bounds = jnp.stack([
         jnp.asarray(0 if row_start is None else row_start, jnp.int32),
         jnp.asarray(0 if col_start is None else col_start, jnp.int32),
+        jnp.asarray(np_ if col_end is None else col_end, jnp.int32),
     ])
     if row_start is None:
         mgrid = tm

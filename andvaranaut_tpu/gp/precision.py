@@ -206,7 +206,8 @@ def slice_matmul_bf16(A, B, nslices: int = DEFAULT_NSLICES,
 
 def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
                  chunk_k: int = DEFAULT_CHUNK_K,
-                 lower_only: bool = False, row_start=None, col_start=None):
+                 lower_only: bool = False, row_start=None, col_start=None,
+                 col_end=None):
     """Accurate MXU matmul — integer-Ozaki path (see int_slice_matmul).
 
     On TPU the fused Pallas kernel (one HBM pass per output tile) replaces
@@ -220,8 +221,12 @@ def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
     col_start tiles on the MXU and NEVER VISITS tile rows wholly above
     row_start (dynamic grid — their output is UNDEFINED and callers
     must mask rows < row_start, as the blocked factorisation's panel
-    updates do).  The composed path applies tile-wise zeroing in all
-    three regions — a refinement of that contract."""
+    updates do).  col_end declares that the CALLER's B operand is zero
+    at cols >= col_end (so those output tiles are exact zeros and skip
+    the MXU).  The composed path applies tile-wise zeroing in the other
+    three regions — a refinement of that contract — and leaves col_end
+    alone (the true product is already zero there by the caller's
+    guarantee)."""
     from .._config import is_tpu
 
     if is_tpu():
@@ -229,7 +234,7 @@ def slice_matmul(A, B, nslices: int = DEFAULT_NSLICES,
 
         return pallas_slicemm.pallas_int_slice_matmul(
             A, B, lower_only=lower_only, row_start=row_start,
-            col_start=col_start)
+            col_start=col_start, col_end=col_end)
     C = int_slice_matmul(A, B)
     if lower_only or row_start is not None or col_start is not None:
         from . import pallas_slicemm as _ps
@@ -260,7 +265,8 @@ def slice_syrk(A, nslices: int = DEFAULT_NSLICES,
 TILE = 256
 
 
-def slice_syrk_lower(A, nslices: int = DEFAULT_NSLICES, row_start=None):
+def slice_syrk_lower(A, nslices: int = DEFAULT_NSLICES, row_start=None,
+                     a_upper: bool = False):
     """A @ A.T with only lower-triangle TILE-tiles defined.
 
     On TPU this runs the triangular-grid Pallas kernel: the strictly-
@@ -270,14 +276,17 @@ def slice_syrk_lower(A, nslices: int = DEFAULT_NSLICES, row_start=None):
     grid never visits them).  Consumers must mask on
     `tril_tiles & (col >= row_start)`.  The composed CPU path returns
     the full product (a valid refinement).
-    row_start marks zero operand rows."""
+    row_start marks zero operand rows.
+    a_upper: caller guarantees A[i, k] == 0 for k < i (e.g. A = L^-T);
+    the kernel then skips k-chunks wholly left of each pair's row tile
+    (exact — ~2/3 of the dense chunk work for a full triangle)."""
     from .._config import is_tpu
 
     if is_tpu():
         from . import pallas_slicemm
 
         return pallas_slicemm.pallas_int_slice_syrk_lower(
-            A, row_start=row_start)
+            A, row_start=row_start, a_upper=a_upper)
     return int_slice_matmul(A, A.T)
 
 
@@ -611,11 +620,17 @@ def _mv(M, v):
 
 
 def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
-                    nslices: int = DEFAULT_NSLICES, Linv=None):
+                    nslices: int = DEFAULT_NSLICES, Linv=None,
+                    col_end=None):
     """Solve L x = b (or L^T x = b) via an explicit mixed-precision
     triangular inverse plus residual refinement (no XLA trsm; see
     tri_inv_mixed).  Vector rhs goes through exact-f64 broadcast-reduce
-    matvecs (no refinement needed); matrix rhs through slice_matmul."""
+    matvecs (no refinement needed); matrix rhs through slice_matmul.
+
+    col_end: caller guarantees b's columns >= col_end are exact zeros;
+    every product in the solve+refinement then has exact-zero columns
+    there too (zero columns are preserved by left-multiplication and by
+    the kernel's exact-zero tile writes), so those tiles skip the MXU."""
     if Linv is None:
         Linv = tri_inv_mixed(L, nslices=nslices)
     if b.ndim == 1:
@@ -625,10 +640,10 @@ def tri_solve_mixed(L, b, trans: int = 0, iters: int = 2,
         for _ in range(min(iters, 1)):  # Linv is ~4e-11; one pass suffices
             x = x + _mv(X, b - _mv(A, x))
         return x
-    Lop = (lambda v: slice_matmul(L.T, v, nslices=nslices)) if trans else (
-        lambda v: slice_matmul(L, v, nslices=nslices))
-    Xop = (lambda v: slice_matmul(Linv.T, v, nslices=nslices)) if trans else (
-        lambda v: slice_matmul(Linv, v, nslices=nslices))
+    Lop = (lambda v: slice_matmul(
+        L.T if trans else L, v, nslices=nslices, col_end=col_end))
+    Xop = (lambda v: slice_matmul(
+        Linv.T if trans else Linv, v, nslices=nslices, col_end=col_end))
 
     def body(_, x):
         r = b - Lop(x)
@@ -876,11 +891,16 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
 
 def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
                         nslices: int = DEFAULT_NSLICES, Dinv=None,
-                        solve_iters: int = 2):
+                        solve_iters: int = 2, rhs_lower: bool = False):
     """Solve L x = b (L lower-triangular) by blocked forward substitution:
     sequential diagonal-block solves (via stored/Newton inverses) + MXU
     off-diagonal products.  When Dinv is given, the step grain is its
-    stored grain (Dinv.shape[1]), overriding `block`."""
+    stored grain (Dinv.shape[1]), overriding `block`.
+
+    rhs_lower: caller guarantees b's block-row j is zero at columns
+    >= (j+1)*block (e.g. b = I, giving x = L^-1): each residual
+    update's product is then exactly zero right of the current block
+    column and the kernel skips those tiles (col_end)."""
     if Dinv is not None:
         block = Dinv.shape[1]
     n = L.shape[0]
@@ -910,8 +930,12 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
         Linv = (
             jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False)
             if Dinv is not None else None)
+        # rhs_lower: this block-row's rhs has exact-zero columns right
+        # of its own block column — the diag solves and their
+        # refinement products skip those tiles too
+        ce = (j * block + block) if (rhs_lower and not squeeze) else None
         return tri_solve_mixed(Lb, r, nslices=nslices, Linv=Linv,
-                               iters=solve_iters)
+                               iters=solve_iters, col_end=ce)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
@@ -936,8 +960,15 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
             # kernel so its dynamic grid never visits those row tiles.
             # Their r entries become UNDEFINED, which is fine by the
             # same argument; halves the solve's MXU work on average.
+            # col_end: for a lower-triangular-structured rhs (the
+            # identity solve), xj's columns right of the current block
+            # column are EXACT ZEROS (b zero there -> Linv@b zero ->
+            # int-slice refinement of zeros is zero), so the product is
+            # zero there too — declare it and the kernel skips those
+            # tiles' MXU work (the live corner is ~1/3 of the square).
+            ce = (lo + block) if rhs_lower else None
             r = r - slice_matmul(Lcol, xj, nslices=nslices,
-                                 row_start=lo + block)
+                                 row_start=lo + block, col_end=ce)
         else:
             r = r - mm(Lcol, xj)
         return r, x

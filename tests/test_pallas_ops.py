@@ -121,6 +121,76 @@ def test_pallas_syrk_lower_triangular_grid(rng):
     assert np.asarray(low3).shape == (m, m)
 
 
+def test_pallas_int_slice_matmul_col_end(rng):
+    """col_end: with B's columns >= ce exactly zero (the identity
+    solve's guarantee), the predicated product must be bit-identical to
+    the dense kernel on live tiles and exact zeros on tiles wholly at or
+    beyond ce."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+    import jax.numpy as jnp
+
+    m = 600
+    ce = 300  # straddles the second tile
+    A = rng.normal(size=(m, 200))
+    B = rng.normal(size=(200, m))
+    B[:, ce:] = 0.0
+    dense = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B)))
+    pred = np.asarray(pallas_slicemm.pallas_int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B), col_end=jnp.int32(ce)))
+    TN = pallas_slicemm._TN
+    tj = np.arange(m)[None, :] // TN
+    live = np.broadcast_to(tj * TN < ce, dense.shape)
+    np.testing.assert_array_equal(
+        np.where(live, pred, 0.0), np.where(live, dense, 0.0))
+    np.testing.assert_array_equal(np.where(live, 0.0, pred), 0.0)
+
+
+def test_pallas_syrk_lower_a_upper_skip(rng):
+    """a_upper: for an upper-triangular operand the k-chunk skip must be
+    exact — lower tiles bit-identical to the dense syrk kernel."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+    import jax.numpy as jnp
+
+    m = 600
+    A = np.triu(rng.normal(size=(m, m)) * np.exp(rng.normal(size=(m, 1))))
+    skip = np.asarray(pallas_slicemm.pallas_int_slice_syrk_lower(
+        jnp.asarray(A), a_upper=True))
+    dense = np.asarray(pallas_slicemm.pallas_int_slice_syrk_lower(
+        jnp.asarray(A)))
+    TM = pallas_slicemm._TM
+    ti = np.arange(m)[:, None] // TM
+    tj = np.arange(m)[None, :] // TM
+    tril = ti >= tj
+    np.testing.assert_array_equal(
+        np.where(tril, skip, 0.0), np.where(tril, dense, 0.0))
+
+
+def test_blocked_solve_lower_rhs_lower_identity(rng, monkeypatch):
+    """rhs_lower=True on the identity rhs must reproduce the plain
+    blocked solve exactly (the skipped product tiles are exact zeros),
+    through the Pallas kernels in interpret mode."""
+    from andvaranaut_tpu.gp import precision
+    from andvaranaut_tpu import _config
+    import jax.numpy as jnp
+
+    n, block = 512, 128
+    A = rng.normal(size=(n, n))
+    K = A @ A.T + n * np.eye(n)
+    L = np.linalg.cholesky(K)
+    eye = jnp.eye(n, dtype=jnp.float64)
+    Lj = jnp.asarray(L)
+    base = np.asarray(precision.blocked_solve_lower(Lj, eye, block=block))
+    # force the TPU dispatch with interpret-mode Pallas for the kernels
+    monkeypatch.setenv("ANDVARANAUT_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(_config, "is_tpu", lambda: True)
+    fast = np.asarray(precision.blocked_solve_lower(
+        Lj, eye, block=block, rhs_lower=True))
+    ref = np.linalg.solve(L, np.eye(n))
+    assert np.abs(fast - ref).max() < 1e-8
+    assert np.abs(fast - base).max() < 1e-8
+
+
 def test_slice_matmul_sparsity_flags_composed(rng):
     """The CPU/XLA-composed dispatcher path must apply the identical
     tile-granular zeroing as the Pallas kernel's predication."""
