@@ -67,17 +67,22 @@ def nlml_value_and_grad(X, y, z, kerns=("RBF",), ops=(), noise=True,
 def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     n, nx = X.shape
     has_alpha = "RatQuad" in kerns
-    eye = jnp.eye(n, dtype=X.dtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def gram_fn(zz):
-        """Elementwise-only Gram assembly (jvp-safe on TPU: no dots)."""
+        """Elementwise-only Gram assembly (jvp-safe on TPU: no dots).
+
+        The diagonal is added through a fused iota comparison — a
+        materialised jnp.eye(n) is a whole-program-lifetime n^2 f64
+        buffer (2.15 GB at 16k) on a chip this program already filled."""
         vals = rvpack.unpack(zz)
         gv_ = vals["gv"][0] if noise else jnp.asarray(0.0, zz.dtype)
         l_ = vals["l"]
         kv_ = vals["kv"]
         alpha_ = vals["alpha"][0] if has_alpha else None
         K_ = kernels.gram(kerns, ops, X, X, l_, kv_, alpha_)
-        return K_ + (jitter + gv_) * eye
+        return K_ + jnp.where(row_iota == col_iota, jitter + gv_, 0.0)
 
     K = gram_fn(z)
     L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True)
@@ -91,25 +96,32 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     # explicit K^-1 = Linv' Linv through the stored block inverses.  A
     # single-block factorisation already returns the full triangular
     # inverse (substitution/pair grade) — reuse it instead of re-deriving
-    # it through five n^3 refinement matmuls.
+    # it through five n^3 refinement matmuls.  The multi-block inverse
+    # runs blocked_inv_lower's pair-carry path on TPU: ONE in-place
+    # (hi, lo) carry instead of the generic identity solve's residual +
+    # solution + per-step product f64 buffers (which, with the eye rhs,
+    # pushed this program to a 20.6 GB compile-time HBM peak at 16k on
+    # the 15.7 GB chip).  Its upper triangle is exact zero by
+    # construction — no tril pass — so the syrk's w_lower k-chunk skip
+    # stays exact.
     if Dinv.shape[0] == 1 and Dinv.shape[1] == n:
-        Linv = Dinv[0]
+        Linv = jnp.tril(Dinv[0])
     else:
-        Linv = precision.blocked_solve_lower(L, eye, block=block, Dinv=Dinv,
-                                             rhs_lower=True)
+        Linv = precision.blocked_inv_lower(L, Dinv=Dinv)
     # K^-1 is symmetric: compute lower TILE-tiles only through the
-    # triangular-grid syrk (half the MXU work of the full square
-    # product).  The full mirrored matrix is NEVER materialised — the
-    # contraction scan below assembles each (n, gb) column block from
-    # C's tile-lower half directly (lower part from C's columns, upper
-    # part from C's rows transposed; diagonal tiles are computed in
-    # full by the kernel so either source is valid there).  At 16k the
-    # mirror would be two extra n^2 f64 buffers (~4 GB) on a chip the
-    # whole-matrix reverse pass already OOMed once.  tril makes L^-1's
-    # upper triangle EXACTLY zero (one fused elementwise pass) so the
-    # syrk's a_upper k-chunk skip is exact by construction.
-    Linv = jnp.tril(Linv)
-    C = precision.slice_syrk_lower(Linv.T, a_upper=True)
+    # triangular-grid A^T A syrk (half the MXU work of the full square
+    # product), consuming L^-1 in its NATIVE layout — feeding the
+    # A A^T kernel L^-T instead made XLA materialise transposed copies
+    # of every slice-extraction stage (~18 GB of f32 temps at 16k, the
+    # OOM's dominant allocations).  The full mirrored K^-1 is NEVER
+    # materialised — the contraction scan below assembles each (n, gb)
+    # column block from C's tile-lower half directly (lower part from
+    # C's columns, upper part from C's rows transposed; diagonal tiles
+    # are computed in full by the kernel so either source is valid
+    # there).  At 16k the mirror would be two extra n^2 f64 buffers
+    # (~4 GB) on a chip the whole-matrix reverse pass already OOMed
+    # once.
+    C = precision.slice_syrk_tn_lower(Linv, w_lower=True)
 
     # All hyperparameter gradients via reverse AD of the ELEMENTWISE Gram
     # assembly with a and K^-1 held constant:
@@ -126,12 +138,18 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     nblocks = npad_cols // gb
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     # padded copies used only for column-block slicing; row-side operands
-    # stay at their true size n
-    Xp = jnp.pad(X, ((0, npad_cols - n), (0, 0)))
-    ap = jnp.pad(a_c, (0, npad_cols - n))
-    # C needs rows AND cols padded: each scan step reads a column block
-    # (lower half of K^-1) and a row block (transposed upper half)
-    Cp = jnp.pad(C_c, ((0, npad_cols - n), (0, npad_cols - n)))
+    # stay at their true size n.  Skip the pads entirely at divisible n
+    # (the 16k production shape): a zero-width jnp.pad of C is still an
+    # op XLA may materialise as a fresh 2.15 GB buffer.
+    if npad_cols != n:
+        Xp = jnp.pad(X, ((0, npad_cols - n), (0, 0)))
+        ap = jnp.pad(a_c, (0, npad_cols - n))
+        # C needs rows AND cols padded: each scan step reads a column
+        # block (lower half of K^-1) and a row block (transposed upper
+        # half)
+        Cp = jnp.pad(C_c, ((0, npad_cols - n), (0, npad_cols - n)))
+    else:
+        Xp, ap, Cp = X, a_c, C_c
     # tile grain of the syrk kernel's defined-lower contract (the CPU
     # path returns the full product, for which either branch is valid)
     _TG = 256
@@ -253,6 +271,9 @@ def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
     yj = jnp.asarray(y1)
 
     def fun(z_np):
+        import time as _time
+
+        t0 = _time.time()
         z = jnp.asarray(z_np)
         logl, g = nlml_value_and_grad(
             Xj, yj, z, kerns=kerns, ops=ops, noise=noise, jitter=jitter,
@@ -266,7 +287,10 @@ def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
             val = 1e12
             grad = np.nan_to_num(grad, nan=0.0, posinf=0.0, neginf=0.0)
         if verbose:
-            print(f"  nlp={val:.6f}")
+            # first call's wall = the one-time compile; the rest are the
+            # steady per-eval cost (float() forces the device read, so
+            # this is honest end-to-end timing on the remote service)
+            print(f"  nlp={val:.6f} ({_time.time() - t0:.2f} s)")
         return val, grad
 
     if truncate:

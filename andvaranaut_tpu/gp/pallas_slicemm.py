@@ -51,6 +51,22 @@ def _pair_dot(a, b):
     return p if p.dtype == jnp.int32 else p.astype(jnp.int32)
 
 
+def _pair_dot_tn(a, b):
+    """Slice-pair product contracting dim 0 of BOTH operands:
+    (tk, TM) x (tk, TN) -> (TM, TN), i.e. a^T @ b without any
+    transposed operand copy.  Mosaic accepts the transposed-LHS
+    dimension numbers on v5e for int8 and bf16 (hardware-probed,
+    exact int32 result) — this is what lets the A^T A syrk consume a
+    lower-triangular operand in its NATIVE layout."""
+    p = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=(
+            jnp.int32 if a.dtype == jnp.int8 else jnp.float32),
+    )
+    return p if p.dtype == jnp.int32 else p.astype(jnp.int32)
+
+
 def _dot_bf16() -> bool:
     import os
 
@@ -112,15 +128,17 @@ def _pairs(nslices: int):
     return [(i, j) for i in range(nslices) for j in range(nslices - i)]
 
 
-def _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs):
-    """One k-chunk of slice-pair MXU products into the scratches."""
+def _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, tn=False):
+    """One k-chunk of slice-pair MXU products into the scratches.
+    tn: contract dim 0 of both operands (see _pair_dot_tn)."""
+    dot = _pair_dot_tn if tn else _pair_dot
     if per_pair:
         for idx, (i, j) in enumerate(_pairs(nslices)):
-            acc_refs[idx][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+            acc_refs[idx][:] += dot(a_refs[i][:], b_refs[j][:])
     else:
         for i in range(nslices):
             for j in range(nslices - i):
-                acc_refs[i + j][:] += _pair_dot(a_refs[i][:], b_refs[j][:])
+                acc_refs[i + j][:] += dot(a_refs[i][:], b_refs[j][:])
 
 
 def _order_group(nslices, per_pair, acc_refs, s):
@@ -226,16 +244,22 @@ def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_kernel(nslices, nk, per_pair, tk, a_upper, *refs):
+def _syrk_kernel(nslices, nk, per_pair, tk, tri_skip, tn, *refs):
     """Triangular-grid syrk tile: grid dim 0 walks a host-precomputed
     list of lower-triangle (ti, tj) tile pairs (scalar-prefetched index
     arrays — upper tiles are never visited, never DMA'd); grid dim 1
     iterates k-chunks.  Same slice-pair reduction as _kernel.
 
-    a_upper (static): the CALLER GUARANTEES operand rows i are zero at
-    k < i (A upper-triangular — e.g. L^-T in the K^-1 product); k-chunks
-    wholly left of the pair's row tile contribute exact zeros and skip
-    the MXU (~2/3 of the dense chunk work for a full triangle).
+    tn (static): the A^T A form — tiles are (tk, TM)/(tk, TN) reads of
+    the SAME native-layout operand slices and the dot contracts dim 0
+    of both (no transposed operand copies anywhere; see _pair_dot_tn).
+
+    tri_skip (static): the CALLER GUARANTEES the operand's k-index is
+    zero below each pair's row tile — A[i, k] == 0 for k < i (A
+    upper-triangular, tn=False, e.g. L^-T) or W[k, i] == 0 for k < i
+    (W lower-triangular, tn=True, e.g. L^-1): k-chunks wholly left of
+    the pair's ROW tile contribute exact zeros and skip the MXU (~2/3
+    of the dense chunk work for a full triangle).
 
     refs: i_arr, j_arr (nT,) i32, rs (1,) i32 row_start — all scalar
     prefetch — then a/b slice tiles, hi/lo outputs, int32 scratches."""
@@ -260,7 +284,7 @@ def _syrk_kernel(nslices, nk, per_pair, tk, a_upper, *refs):
     # dead suffix — this predicate only covers the clamped t=0 cell of
     # an all-dead call (it then writes exact zeros).
     active = (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0]
-    if a_upper:
+    if tri_skip:
         # pair list has ti >= tj, so the first live chunk is at ti's
         # tile: chunks wholly below it multiply exact-zero operand rows
         active = active & (
@@ -269,7 +293,7 @@ def _syrk_kernel(nslices, nk, per_pair, tk, a_upper, *refs):
 
     @pl.when(active)
     def _():
-        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs)
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, tn=tn)
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -473,6 +497,189 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     return nhi, nlo
 
 
+def _mm_sub_kernel(nslices, nk, tmax, per_pair, *refs):
+    """Rectangular fused in-place subtract: R_tile -= (A @ B)_tile.
+
+    Same slice-pair reduction / pair-subtract combine as
+    `_syrk_sub_kernel`, but over a rectangular (rows, cols, k) grid whose
+    row dimension is dynamic (offset past `row_start`) and whose column
+    dimension the CALLER truncates at col_end (live columns are a
+    prefix).  Tiles never visited pass through via the output aliasing;
+    the clamped row of an all-dead call (row_start >= m) writes the
+    carry through unchanged.
+
+    refs: rs (1,) i32 scalar prefetch, then a/b slice tiles, Rhi/Rlo
+    carry tiles, sa (TM, 128) / sb (8, TN) f32 scale tiles, hi/lo
+    outputs (aliased to Rhi/Rlo), int32 scratches."""
+    rs_ref = refs[0]
+    refs = refs[1:]
+    a_refs = refs[:nslices]
+    b_refs = refs[nslices : 2 * nslices]
+    rhi_ref, rlo_ref, sa_ref, sb_ref = refs[2 * nslices : 2 * nslices + 4]
+    hi_ref, lo_ref = refs[2 * nslices + 4], refs[2 * nslices + 5]
+    acc_refs = refs[2 * nslices + 6 :]
+    ti = jnp.minimum(
+        pl.program_id(0) + jax.lax.div(rs_ref[0], jnp.int32(_TM)),
+        jnp.int32(tmax - 1))
+    kidx = pl.program_id(2)
+    active = (ti + jnp.int32(1)) * jnp.int32(_TM) > rs_ref[0]
+
+    @pl.when(kidx == 0)
+    def _():
+        for acc in acc_refs:
+            acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(active)
+    def _():
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs)
+
+    @pl.when(kidx == nk - 1)
+    def _():
+        @pl.when(active)
+        def _():
+            chi = jnp.zeros_like(hi_ref)
+            clo = jnp.zeros_like(lo_ref)
+            for s in range(nslices):
+                g = _order_group(nslices, per_pair, acc_refs, s)
+                ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
+                glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
+                w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
+                chi, clo = _two_sum(
+                    chi, clo, ghi.astype(jnp.float32) * (w * 4096.0))
+                chi, clo = _two_sum(chi, clo, glo.astype(jnp.float32) * w)
+            sa = sa_ref[:, :1]
+            sb = sb_ref[:1, :]
+            chi = (chi * sa) * sb
+            clo = (clo * sa) * sb
+            h1, l1 = _two_sum(rhi_ref[:], rlo_ref[:], -chi)
+            h2, l2 = _two_sum(h1, l1, -clo)
+            nh = h2 + l2
+            hi_ref[:] = nh
+            lo_ref[:] = (h2 - nh) + l2
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            hi_ref[:] = rhi_ref[:]
+            lo_ref[:] = rlo_ref[:]
+
+
+def pallas_int_slice_mm_sub_pair(Rhi, Rlo, A, B, nslices: int | None = None,
+                                 row_start=None, col_end=None):
+    """See _pallas_int_slice_mm_sub_pair; resolves the slice count
+    OUTSIDE the jit so it is the compile-cache key."""
+    return _pallas_int_slice_mm_sub_pair(
+        Rhi, Rlo, A, B,
+        nslices=precision.INT_NSLICES if nslices is None else nslices,
+        row_start=row_start, col_end=col_end, dot_bf16=_dot_bf16(),
+        per_pair=_acc_per_pair(), tk=_tk_for(A.shape[1]))
+
+
+@partial(jax.jit,
+         static_argnames=("nslices", "dot_bf16", "per_pair", "tk"))
+def _pallas_int_slice_mm_sub_pair(Rhi, Rlo, A, B, nslices: int,
+                                  row_start=None, col_end=None,
+                                  dot_bf16=False, per_pair=False, tk=_TK):
+    """(Rhi, Rlo) -= A @ B on live tiles, fused and in place.
+
+    The rectangular sibling of `_pallas_int_slice_syrk_sub_pair`, built
+    for the blocked triangular identity solve (precision.
+    blocked_inv_lower): the residual matrix is carried as an (hi, lo)
+    f32 pair and each step's update R[rows >= row_start, cols <
+    col_end] -= Lcol @ xj runs as ONE kernel that subtracts from the
+    carry in place (input_output_aliases).  This removes the identity
+    solve's three full-size (m, n) f64 temporaries per step (the
+    product, the subtraction result, and the separate solution
+    accumulator) — the buffers that pushed the 16k gradient-pipeline
+    program to a 20.6 GB compile-time HBM peak on a 15.7 GB chip.
+
+    Live tiles: tile rows at/after `row_start` (dynamic grid offset,
+    like `_pallas_int_slice_matmul`) x tile cols below `col_end` (the
+    caller's B is exact-zero at cols >= col_end, so the dynamic column
+    grid simply stops there).  Tiles outside PASS THROUGH unchanged.
+    A rows above `row_start` must already be zero (the caller's
+    `where(below, ...)` mask).  row_start/col_end must be multiples of
+    the 256 tile, as the blocked solve's step boundaries are."""
+    m, k = A.shape
+    k2, n = B.shape
+    assert k2 == k and Rhi.shape == (m, n) and Rlo.shape == (m, n)
+    assert m % _TM == 0 and n % _TN == 0, "pair carry requires tile-aligned R"
+    sA = precision._pow2_row_scales(A, axis=1)
+    sB = precision._pow2_row_scales(B, axis=0)
+    a_sl = precision._int_slices(A / sA, nslices)
+    b_sl = precision._int_slices(B / sB, nslices)
+    kp = -(-k // tk) * tk
+    if kp != k:
+        a_sl = [jnp.pad(a, ((0, 0), (0, kp - k))) for a in a_sl]
+        b_sl = [jnp.pad(b, ((0, kp - k), (0, 0))) for b in b_sl]
+    a_sl = _slice_operands(a_sl, dot_bf16)
+    b_sl = _slice_operands(b_sl, dot_bf16)
+    nk = kp // tk
+    tm = m // _TM
+    tn = n // _TN
+    rs = jnp.asarray(
+        [0 if row_start is None else row_start], dtype=jnp.int32)
+    if row_start is None:
+        mgrid = tm
+    else:
+        mgrid = jnp.maximum(
+            jnp.int32(tm) - jnp.asarray(row_start, jnp.int32) // _TM, 1)
+    if col_end is None:
+        ngrid = tn
+    else:
+        ngrid = jnp.maximum(
+            jnp.minimum(
+                -(-jnp.asarray(col_end, jnp.int32) // jnp.int32(_TN)),
+                jnp.int32(tn)), 1)
+    sa32 = jnp.broadcast_to(sA.astype(jnp.float32), (m, 128))
+    sb32 = jnp.broadcast_to(sB.astype(jnp.float32), (8, n))
+
+    def _row(i, b):
+        # i32 throughout: `//` on a Python int promotes through i64
+        # under x64 and Mosaic rejects i64 in index maps (TPU_NOTES)
+        rs_t = jax.lax.div(b[0], np.int32(_TM))
+        return jnp.minimum(i + rs_t, np.int32(tm - 1))
+
+    a_spec = pl.BlockSpec((_TM, tk),
+                          lambda i, j, kk, b: (_row(i, b), kk),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((tk, _TN), lambda i, j, kk, b: (kk, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((_TM, _TN),
+                          lambda i, j, kk, b: (_row(i, b), j),
+                          memory_space=pltpu.VMEM)
+    sa_spec = pl.BlockSpec(
+        (_TM, 128), lambda i, j, kk, b: (_row(i, b), np.int32(0)),
+        memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec(
+        (8, _TN), lambda i, j, kk, b: (np.int32(0), j),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mgrid, ngrid, nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices
+        + [o_spec, o_spec, sa_spec, sb_spec],
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
+        ],
+    )
+    # flat input order: 1 scalar-prefetch, 2*nslices slice operands,
+    # then Rhi, Rlo (aliased to outputs 0, 1), sa, sb
+    base = 1 + 2 * nslices
+    nhi, nlo = pl.pallas_call(
+        partial(_mm_sub_kernel, nslices, nk, tm, per_pair),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), jnp.float32),
+            jax.ShapeDtypeStruct((m, n), jnp.float32),
+        ),
+        input_output_aliases={base: 0, base + 1: 1},
+        interpret=interpret_mode(),
+    )(rs, *a_sl, *b_sl, Rhi, Rlo, sa32, sb32)
+    return nhi, nlo
+
+
 def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
                                 row_start=None, a_upper: bool = False):
     """See _pallas_int_slice_syrk_lower; resolves the configurable slice
@@ -562,7 +769,7 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
         ],
     )
     hi, lo = pl.pallas_call(
-        partial(_syrk_kernel, nslices, nk, per_pair, tk, a_upper),
+        partial(_syrk_kernel, nslices, nk, per_pair, tk, a_upper, False),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
@@ -572,6 +779,89 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
     )(i_arr, j_arr, rs, *a_sl, *b_sl)
     C = hi[:m, :m].astype(out_dtype) + lo[:m, :m].astype(out_dtype)
     return C * (sA * sB)
+
+
+def pallas_int_slice_syrk_tn_lower(W, nslices: int | None = None,
+                                   w_lower: bool = False):
+    """See _pallas_int_slice_syrk_tn_lower; resolves the slice count
+    OUTSIDE the jit so it is the compile-cache key."""
+    return _pallas_int_slice_syrk_tn_lower(
+        W, nslices=precision.INT_NSLICES if nslices is None else nslices,
+        dot_bf16=_dot_bf16(), per_pair=_acc_per_pair(),
+        tk=_tk_for(W.shape[0]), w_lower=w_lower)
+
+
+@partial(jax.jit,
+         static_argnames=("nslices", "dot_bf16", "per_pair", "tk",
+                          "w_lower"))
+def _pallas_int_slice_syrk_tn_lower(W, nslices: int, dot_bf16=False,
+                                    per_pair=False, tk=_TK,
+                                    w_lower=False):
+    """C = W^T @ W, LOWER-TRIANGLE TILES ONLY, with W consumed in its
+    NATIVE layout: both kernel operands read the SAME slice arrays
+    ((tk, TM) and (tk, TN) windows) and the dot contracts dim 0 of
+    both (_pair_dot_tn) — no transposed operand, no transposed slice
+    copies.  This is the K^-1 = L^-T L^-1 form fed with L^-1 directly:
+    the A A^T kernel needed A = L^-T, and slicing that transposed f64
+    operand made XLA materialise per-use transposed copies of every
+    extraction-chain stage — ~18 GB of f32[16k, 16k] temporaries, the
+    dominant allocations in the 16k gradient pipeline's compile-time
+    OOM (20.6 GB on the 15.7 GB chip).
+
+    Strictly-upper output tiles are never computed (triangular grid);
+    consumers mask on tril tiles.
+
+    w_lower (static): caller guarantees W[k, i] == 0 for k < i (W
+    lower-triangular, e.g. L^-1): k-chunks wholly above each pair's
+    row tile skip the MXU — exact, ~2/3 of the dense chunk work."""
+    out_dtype = W.dtype
+    k, m = W.shape
+    sW = precision._pow2_row_scales(W, axis=0)   # (1, m) column scales
+    w_sl = precision._int_slices(W / sW, nslices)
+
+    mp = -(-m // _TM) * _TM
+    kp = -(-k // tk) * tk
+    if (kp, mp) != (k, m):
+        w_sl = [jnp.pad(w, ((0, kp - k), (0, mp - m))) for w in w_sl]
+    w_sl = _slice_operands(w_sl, dot_bf16)
+    nk = kp // tk
+    T = mp // _TM
+    pairs = [(i, j) for j in range(T - 1, -1, -1)
+             for i in range(T - 1, j - 1, -1)]
+    i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
+    j_arr = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
+    rs = jnp.zeros((1,), dtype=jnp.int32)  # no row_start: all pairs live
+
+    a_spec = pl.BlockSpec(
+        (tk, _TM), lambda t, kk, i_a, j_a, r: (kk, i_a[t]),
+        memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec(
+        (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+        memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(len(pairs), nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices,
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
+        ],
+    )
+    hi, lo = pl.pallas_call(
+        partial(_syrk_kernel, nslices, nk, per_pair, tk, w_lower, True),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, mp), jnp.float32),
+            jax.ShapeDtypeStruct((mp, mp), jnp.float32),
+        ),
+        interpret=interpret_mode(),
+    )(i_arr, j_arr, rs, *w_sl, *w_sl)
+    C = hi[:m, :m].astype(out_dtype) + lo[:m, :m].astype(out_dtype)
+    return C * (sW.reshape(-1, 1) * sW)
 
 
 def pallas_int_slice_matmul(A, B, nslices: int | None = None,

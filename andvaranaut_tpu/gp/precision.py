@@ -290,6 +290,29 @@ def slice_syrk_lower(A, nslices: int = DEFAULT_NSLICES, row_start=None,
     return int_slice_matmul(A, A.T)
 
 
+def slice_syrk_tn_lower(W, nslices: int = DEFAULT_NSLICES,
+                        w_lower: bool = False):
+    """W.T @ W with only lower-triangle TILE-tiles defined, W consumed
+    in its NATIVE layout (no transposed operand anywhere — the
+    transposed-LHS dot runs on the MXU directly).
+
+    This is the K^-1 = L^-T L^-1 product fed with L^-1: feeding the
+    A A^T kernel L^-T instead made XLA materialise per-use transposed
+    copies of every f64 slice-extraction stage (~18 GB at 16k — the
+    gradient pipeline's compile-time OOM).  The composed CPU path
+    returns the full product (a valid refinement).
+    w_lower: caller guarantees W[k, i] == 0 for k < i (exact k-chunk
+    skip, ~2/3 of the dense chunk work)."""
+    from .._config import is_tpu
+
+    if is_tpu():
+        from . import pallas_slicemm
+
+        return pallas_slicemm.pallas_int_slice_syrk_tn_lower(
+            W, w_lower=w_lower)
+    return int_slice_matmul(W.T, W)
+
+
 def _chol_f64(A):
     return jnp.linalg.cholesky(A)
 
@@ -975,6 +998,87 @@ def blocked_solve_lower(L, b, block: int = 256, mixed: bool = True,
 
     _, x = jax.lax.fori_loop(0, nb, body, (b, jnp.zeros_like(b)))
     return x
+
+
+def _inv_lower_pair(L, Dinv, block: int, nslices: int, solve_iters: int):
+    """Blocked forward-substitution identity solve with the residual
+    matrix carried as an (hi, lo) f32 pair and each step's trailing
+    update fused IN PLACE into the Pallas kernel
+    (pallas_int_slice_mm_sub_pair) — the finished solution block-rows
+    are written INTO the same carry, so the whole solve holds ONE
+    (n, n) pair instead of the separate residual + solution + product
+    f64 buffers of the generic matrix-rhs path (which pushed the 16k
+    gradient pipeline to a 20.6 GB compile-time HBM peak).
+
+    Upper-strict entries stay EXACTLY zero by construction: the carry
+    starts as I (f32-exact), updates only touch rows >= row_start and
+    cols < col_end (both strictly-lower regions at every step), and
+    each solved block-row is exact-zero right of its block column
+    (zero rhs -> zero products -> zero refinements).  Returns the
+    (hi, lo) pair of L^-1."""
+    from . import pallas_slicemm
+
+    n = L.shape[0]
+    nb = n // block
+    dt = L.dtype
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(j, carry):
+        rhi, rlo = carry
+        lo = j * block
+        rblk = (
+            jax.lax.dynamic_slice(rhi, (lo, 0), (block, n)).astype(dt)
+            + jax.lax.dynamic_slice(rlo, (lo, 0), (block, n)).astype(dt))
+        Lblk = jax.lax.dynamic_slice(L, (lo, lo), (block, block))
+        Linvj = (
+            jax.lax.dynamic_index_in_dim(Dinv, j, keepdims=False)
+            if Dinv is not None else None)
+        xj = tri_solve_mixed(Lblk, rblk, nslices=nslices, Linv=Linvj,
+                             iters=solve_iters, col_end=lo + block)
+        xh, xl = _pair_split(xj)
+        rhi = jax.lax.dynamic_update_slice(rhi, xh, (lo, 0))
+        rlo = jax.lax.dynamic_update_slice(rlo, xl, (lo, 0))
+        Lcol = jnp.where(
+            row_idx >= lo + block,
+            jax.lax.dynamic_slice(L, (0, lo), (n, block)), 0.0)
+        # nslices resolves to INT_NSLICES inside, like every other
+        # production slice call (the legacy DEFAULT_NSLICES=4 arg is a
+        # bf16-scheme relic and 100x too coarse for the solve)
+        rhi, rlo = pallas_slicemm.pallas_int_slice_mm_sub_pair(
+            rhi, rlo, Lcol, xj,
+            row_start=lo + block, col_end=lo + block)
+        return rhi, rlo
+
+    init = (jnp.eye(n, dtype=jnp.float32), jnp.zeros((n, n), jnp.float32))
+    return jax.lax.fori_loop(0, nb, body, init)
+
+
+def blocked_inv_lower(L, Dinv=None, block: int = 256,
+                      nslices: int = DEFAULT_NSLICES,
+                      solve_iters: int = 2):
+    """Full triangular inverse X = L^-1 (L lower), native layout.
+
+    On the pair-carry path (TPU, or PAIR_CARRY=2 for CPU parity tests)
+    this runs `_inv_lower_pair` — one in-place (hi, lo) carry, no eye /
+    solution / product f64 temporaries, exact-zero upper triangle with
+    no tril pass.  Otherwise it falls back to the generic identity
+    solve (blocked_solve_lower with rhs_lower) plus a tril mask, since
+    that path's row_start-compacted updates leave rows above the
+    current step UNDEFINED."""
+    if Dinv is not None:
+        block = Dinv.shape[1]
+    n = L.shape[0]
+    dt = L.dtype
+    if n <= block:
+        return jnp.tril(
+            Dinv[0] if Dinv is not None else tri_inv_mixed(
+                L, nslices=nslices))
+    if n % block == 0 and _use_pair_carry(block, n):
+        rhi, rlo = _inv_lower_pair(L, Dinv, block, nslices, solve_iters)
+        return rhi.astype(dt) + rlo.astype(dt)
+    return jnp.tril(blocked_solve_lower(
+        L, jnp.eye(n, dtype=dt), block=block, nslices=nslices,
+        Dinv=Dinv, solve_iters=solve_iters, rhs_lower=True))
 
 
 @jax.custom_vjp

@@ -306,3 +306,27 @@ def test_per_pair_accumulators_bit_identical(rng):
         Ah, Al, P, nslices=6, per_pair=True)
     np.testing.assert_array_equal(np.asarray(h0)[tril], np.asarray(h1)[tril])
     np.testing.assert_array_equal(np.asarray(l0)[tril], np.asarray(l1)[tril])
+
+
+def test_pallas_syrk_tn_lower(rng):
+    """A^T A syrk (native-layout operand, transposed-LHS MXU dots): on
+    lower tiles the result must match the composed int-slice product to
+    the pair-assembly grade, and the w_lower k-chunk skip must be
+    bit-exact vs its own dense variant."""
+    from andvaranaut_tpu.gp import pallas_slicemm, precision
+    import jax.numpy as jnp
+
+    m = 600
+    W = np.tril(rng.normal(size=(m, m)) * np.exp(rng.normal(size=(m, 1))))
+    Wj = jnp.asarray(W)
+    got = np.asarray(pallas_slicemm.pallas_int_slice_syrk_tn_lower(Wj))
+    skip = np.asarray(
+        pallas_slicemm.pallas_int_slice_syrk_tn_lower(Wj, w_lower=True))
+    want = np.asarray(precision.int_slice_matmul(
+        Wj.T, Wj, nslices=precision.INT_NSLICES))
+    TM = pallas_slicemm._TM
+    tril = (np.arange(m)[:, None] // TM) >= (np.arange(m)[None, :] // TM)
+    err = np.abs(np.where(tril, got - want, 0.0)).max()
+    assert err < 1e-10 * np.abs(want).max(), err
+    np.testing.assert_array_equal(
+        np.where(tril, skip, 0.0), np.where(tril, got, 0.0))

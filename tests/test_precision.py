@@ -527,3 +527,90 @@ def test_bigfit_single_block_grad_parity(rng, monkeypatch):
         jnp.asarray(X), jnp.asarray(y), z, kerns=("RBF",), block=128)
     np.testing.assert_allclose(float(v1), v0, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(g1), g0, rtol=1e-5, atol=5e-6)
+
+
+def test_mm_sub_pair_kernel(rng):
+    """Rectangular fused in-place subtract (interpret mode): live tiles
+    (rows >= row_start, cols < col_end) get R - A@B at slice grade;
+    everything else passes through BIT-exactly (aliased pair planes
+    untouched), including the clamped row of an all-dead call."""
+    from andvaranaut_tpu.gp import pallas_slicemm
+
+    m, k, n, rs, ce = 512, 256, 768, 256, 512
+    A = rng.normal(size=(m, k))
+    A[:rs] = 0.0
+    B = rng.normal(size=(k, n))
+    B[:, ce:] = 0.0
+    R = rng.normal(size=(m, n))
+    Rhi, Rlo = precision._pair_split(jnp.asarray(R))
+    nhi, nlo = pallas_slicemm.pallas_int_slice_mm_sub_pair(
+        Rhi, Rlo, jnp.asarray(A), jnp.asarray(B), row_start=rs, col_end=ce)
+    got = np.asarray(nhi.astype(jnp.float64) + nlo.astype(jnp.float64))
+    C = np.asarray(precision.int_slice_matmul(
+        jnp.asarray(A), jnp.asarray(B), nslices=precision.INT_NSLICES))
+    live = (np.arange(m)[:, None] >= rs) & (np.arange(n)[None, :] < ce)
+    want = np.where(live, R - C, R)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-12, err
+    keep = ~live
+    assert (np.asarray(nhi)[keep] == np.asarray(Rhi)[keep]).all()
+    assert (np.asarray(nlo)[keep] == np.asarray(Rlo)[keep]).all()
+    # all-dead call: carry passes through bit-exactly
+    dhi, dlo = pallas_slicemm.pallas_int_slice_mm_sub_pair(
+        Rhi, Rlo, jnp.asarray(A), jnp.asarray(B), row_start=m, col_end=ce)
+    assert (np.asarray(dhi) == np.asarray(Rhi)).all()
+    assert (np.asarray(dlo) == np.asarray(Rlo)).all()
+
+
+def test_blocked_inv_lower_pair_parity(rng, monkeypatch):
+    """The pair-carry identity solve (one in-place (hi, lo) carry — the
+    16k gradient pipeline's OOM fix) must match the generic
+    rhs_lower+tril path to well under the slice grade, produce an
+    EXACT-zero upper triangle with no tril pass, and fuse the
+    transpose."""
+    n, block = 768, 256
+    K = _spd(n, rng, cond=1e5) + 1e-4 * np.eye(n)
+    Kj = jnp.asarray(K)
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    L, Dinv = precision.blocked_cholesky(Kj, block=block, return_inv=True)
+    X = precision.blocked_inv_lower(L, Dinv=Dinv)
+    Xn = np.asarray(X)
+    Ln = np.tril(np.asarray(L))
+    res = np.abs(np.eye(n) - Ln @ Xn).max()
+    assert res < 1e-8, res
+    assert (np.triu(Xn, 1) == 0.0).all()
+    monkeypatch.setattr(precision, "PAIR_CARRY", 0)
+    Xf = np.asarray(precision.blocked_inv_lower(L, Dinv=Dinv))
+    d = np.abs(Xn - Xf).max() / np.abs(Xf).max()
+    assert d < 1e-11, d
+
+
+def test_bigfit_grad_parity_pair_path(rng, monkeypatch):
+    """Multi-block gradient pipeline routed entirely through the pair
+    carries (PAIR_CARRY=2: pair factorisation + pair identity solve +
+    a_upper syrk — the TPU production route) must agree with the
+    f64-carry route to well under the closed-form pipeline's own
+    grade."""
+    import jax
+
+    from andvaranaut_tpu.gp import bigfit
+
+    n, nx = 512, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2 + 0.01 * rng.normal(size=n)
+    z = jnp.asarray(np.log([1e-3, 0.8, 1.7, 2.5]))
+    # PAIR_CARRY is read at trace time and is NOT part of _nlml_vg's
+    # jit cache key: clear the cache around each setting or the second
+    # call silently reuses the first trace
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    bigfit._nlml_vg.clear_cache()
+    v1, g1 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    monkeypatch.setattr(precision, "PAIR_CARRY", 0)
+    bigfit._nlml_vg.clear_cache()
+    v0, g0 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    bigfit._nlml_vg.clear_cache()
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
