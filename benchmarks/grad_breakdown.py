@@ -75,7 +75,9 @@ def main():
 
     def base(Xa, ya):
         K = kernels.gram(("RBF",), (), Xa, None, l, kv, None)
-        K = K + (1e-6 + gv) * jnp.eye(N, dtype=Xa.dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        K = K + jnp.where(row == col, 1e-6 + gv, 0.0)
         L, Dinv = precision.blocked_cholesky(
             K, block=BLOCK, return_inv=True)
         alpha = precision.refined_chol_solve(L, K, ya, block=BLOCK,
@@ -92,21 +94,15 @@ def main():
     @jax.jit
     def p1(Xa, ya):
         logl, L, Dinv, alpha = base(Xa, ya)
-        eye = jnp.eye(N, dtype=Xa.dtype)
-        Linv = precision.blocked_solve_lower(L, eye, block=BLOCK,
-                                             Dinv=Dinv)
+        Linv = precision.blocked_inv_lower(L, Dinv=Dinv)
         return logl + Linv[0, 0]
 
     @jax.jit
     def p2(Xa, ya):
         logl, L, Dinv, alpha = base(Xa, ya)
-        eye = jnp.eye(N, dtype=Xa.dtype)
-        Linv = precision.blocked_solve_lower(L, eye, block=BLOCK,
-                                             Dinv=Dinv)
-        C = precision.slice_syrk_lower(Linv.T)
-        Cl = jnp.tril(C, -1)
-        Kinv = Cl + Cl.T + jnp.diag(jnp.diag(C))
-        return logl + Kinv[0, 0]
+        Linv = precision.blocked_inv_lower(L, Dinv=Dinv)
+        C = precision.slice_syrk_tn_lower(Linv, w_lower=True)
+        return logl + C[0, 0]
 
     rvpack = bigfit._default_rvpack(2, ("RBF",), True)
     z = jnp.asarray(np.log([1e-4, 0.5, 0.7, 1.0]))
@@ -116,8 +112,8 @@ def main():
             Xa, ya, z, kerns=("RBF",), block=BLOCK, rvpack=rvpack)
 
     t0 = timed("P0 nlml (gram+chol+solve)", p0, Xj, yj)
-    t1 = timed("P1 +Linv identity solve", p1, Xj, yj)
-    t2 = timed("P2 +Kinv tri syrk+mirror", p2, Xj, yj)
+    t1 = timed("P1 +Linv pair identity solve", p1, Xj, yj)
+    t2 = timed("P2 +Kinv native tn syrk", p2, Xj, yj)
     t3 = timed("P3 full value+grad", p3, Xj, yj)
     print(f"deltas: Linv {1000*(t1-t0):.0f} ms, Kinv {1000*(t2-t1):.0f} ms, "
           f"contraction+rest {1000*(t3-t2):.0f} ms", flush=True)
