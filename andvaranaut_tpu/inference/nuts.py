@@ -762,6 +762,16 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
     count divides the device count); chunks of `leaps_per_call` leapfrogs
     per device execution keep runs clear of runtime watchdogs.  Returns
     the same (chains, draws) dict schema as nuts_sample."""
+    if adapt_tlen and num_chains < 2:
+        import warnings
+
+        warnings.warn(
+            "ChEES trajectory-length adaptation needs >= 2 chains: the "
+            "halting criterion is defined against the CROSS-chain mean, "
+            "and a single chain's self-mean biases the gradient (the "
+            "measured runaway mode; docs/TPU_NOTES.md).  Falling back "
+            "to uniform trajectory jitter for this run.")
+        adapt_tlen = False
     dim = int(np.asarray(z0).shape[0])
     budget = 2 ** max_treedepth
     kinit, keps, krun = jax.random.split(key, 3)
@@ -1227,7 +1237,14 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         # through ONE fused pair-kernel call (vs per-step emulated-f64
         # chols + panel/syrk machinery), and the gradient pipeline
         # reuses its stored inverse directly.
-        block = n if n <= 512 else min(256, max(32, n // 2))
+        # ANDVARANAUT_MCMC_BLOCK overrides (e.g. 1024 at n=16k, where
+        # the 64-step block=256 pipeline pays its per-step glue 4x and
+        # the MAP-fit evidence says 1024 is the value+grad optimum).
+        env_block = _os.environ.get("ANDVARANAUT_MCMC_BLOCK")
+        if env_block:
+            block = int(env_block)
+        else:
+            block = n if n <= 512 else min(256, max(32, n // 2))
         rvpack, nlp = bigfit.make_mixed_objective(
             xin, yin, kerns=cfg.kerns, ops=cfg.ops, noise=cfg.noise,
             truncate=cfg.truncate, jitter=cfg.jitter,

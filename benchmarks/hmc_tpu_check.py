@@ -47,11 +47,12 @@ def main():
     spc = int(os.environ.get("HMC_SPC", 5))
     smp = os.environ.get("HMC_SAMPLER", "hmc")  # hmc | hmc_fixed
     depth = int(os.environ.get("HMC_DEPTH", 6))
+    adapt = os.environ.get("HMC_ADAPT_TLEN", "1") != "0"
     t0 = time.time()
     data = nuts.sample_model(
         cfg, draws=draws, tune=tune, chains=chains, random_seed=0,
         sampler=smp, mixed=True, verbose=False, steps_per_call=spc,
-        max_treedepth=depth)
+        max_treedepth=depth, adapt_tlen=adapt)
     wall = time.time() - t0
     print(f"SURVIVED: n={n} chains={chains} {tune}+{draws} in {wall:.1f}s",
           flush=True)

@@ -401,3 +401,56 @@ def test_64_hmc_chains_sharded_over_mesh():
     assert (rhat < 1.05).all()
     assert abs(z.mean() - 1.5) < 0.05
     assert abs(z.std() - 0.5) < 0.07
+
+
+def test_hmc_single_chain_adapt_tlen_falls_back():
+    """ChEES needs >= 2 chains (the criterion is defined against the
+    cross-chain mean; a single chain's self-mean biases the halting
+    gradient — the measured runaway mode).  One chain must warn, fall
+    back to uniform jitter, and still sample correctly."""
+    import warnings as _w
+
+    def logp(z):
+        return -0.5 * jnp.sum(z * z)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        res = nuts.hmc_flat_sample(
+            logp, jnp.zeros(3), key=jax.random.PRNGKey(7),
+            num_warmup=500, num_samples=500, num_chains=1,
+            max_treedepth=5, adapt_tlen=True)
+    assert any("CROSS-chain" in str(w.message) for w in rec)
+    z = np.asarray(res["z"])
+    assert z.shape == (1, 500, 3)
+    assert abs(z.mean()) < 0.15
+    np.testing.assert_allclose(
+        z.reshape(-1, 3).std(axis=0), np.ones(3), atol=0.15)
+
+
+def test_sample_model_mcmc_block_env_override(rng, monkeypatch):
+    """ANDVARANAUT_MCMC_BLOCK overrides the mixed-objective
+    factorisation block (the 256 cap is wrong at 16k, where the MAP-fit
+    evidence says 1024; the knob lets at-scale MCMC use it)."""
+    from andvaranaut_tpu.gp import bigfit, engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n = 48
+    X = rng.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + 0.05 * rng.normal(size=n)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y.reshape(-1, 1))
+    seen = {}
+    orig = bigfit.make_mixed_objective
+
+    def spy(xin, yin, **kw):
+        seen["block"] = kw.get("block")
+        return orig(xin, yin, **kw)
+
+    monkeypatch.setattr(bigfit, "make_mixed_objective", spy)
+    monkeypatch.setenv("ANDVARANAUT_MCMC_BLOCK", "16")
+    nuts.sample_model(cfg, draws=10, tune=10, chains=2, random_seed=0,
+                      mixed=True)
+    assert seen["block"] == 16
