@@ -770,7 +770,8 @@ def hmc_flat_sample(logp_fn, z0, *, key, num_warmup=1000, num_samples=1000,
             "halting criterion is defined against the CROSS-chain mean, "
             "and a single chain's self-mean biases the gradient (the "
             "measured runaway mode; docs/TPU_NOTES.md).  Falling back "
-            "to uniform trajectory jitter for this run.")
+            "to uniform trajectory jitter for this run.",
+            stacklevel=2)
         adapt_tlen = False
     dim = int(np.asarray(z0).shape[0])
     budget = 2 ** max_treedepth
@@ -1243,6 +1244,10 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         env_block = _os.environ.get("ANDVARANAUT_MCMC_BLOCK")
         if env_block:
             block = int(env_block)
+            if block < 1:
+                raise ValueError(
+                    "ANDVARANAUT_MCMC_BLOCK must be a positive int, got "
+                    f"{env_block!r}")
         else:
             block = n if n <= 512 else min(256, max(32, n // 2))
         rvpack, nlp = bigfit.make_mixed_objective(

@@ -454,3 +454,23 @@ def test_sample_model_mcmc_block_env_override(rng, monkeypatch):
     nuts.sample_model(cfg, draws=10, tune=10, chains=2, random_seed=0,
                       mixed=True)
     assert seen["block"] == 16
+
+
+def test_sample_model_mcmc_block_env_rejects_nonpositive(rng, monkeypatch):
+    """A zero/negative ANDVARANAUT_MCMC_BLOCK fails fast with a message
+    naming the env knob, instead of a ZeroDivisionError deep inside
+    blocked_cholesky."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    X = rng.uniform(size=(16, 2))
+    y = np.sin(3 * X[:, 0]).reshape(-1, 1)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y)
+    monkeypatch.setenv("ANDVARANAUT_MCMC_BLOCK", "0")
+    with pytest.raises(ValueError, match="ANDVARANAUT_MCMC_BLOCK"):
+        nuts.sample_model(cfg, draws=2, tune=2, chains=2, random_seed=0,
+                          mixed=True)
