@@ -67,10 +67,35 @@ def _pair_dot_tn(a, b):
     return p if p.dtype == jnp.int32 else p.astype(jnp.int32)
 
 
+def _pair_dot_nt(a, b):
+    """Slice-pair product contracting dim 1 of BOTH operands:
+    (TM, tk) x (TN, tk) -> (TM, TN), i.e. a @ b^T without any
+    transposed operand copy.  Lets the A A^T syrk kernels read their b
+    operand as (TN, tk) windows of the SAME native-layout slice arrays
+    instead of materialising transposed int8 copies (~6 full planes
+    written+read per factorisation step).  Hardware acceptance probed
+    by benchmarks/nt_dot_probe.py (exact int32, v5e)."""
+    p = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=(
+            jnp.int32 if a.dtype == jnp.int8 else jnp.float32),
+    )
+    return p if p.dtype == jnp.int32 else p.astype(jnp.int32)
+
+
 def _dot_bf16() -> bool:
     import os
 
     return os.environ.get("ANDVARANAUT_MXU_DOT", "int8") == "bf16"
+
+
+def _syrk_nt() -> bool:
+    """ANDVARANAUT_SYRK_NT=1: syrk kernels read the b operand from the
+    native-layout slice arrays via the nt dot (no transposed copies)."""
+    import os
+
+    return os.environ.get("ANDVARANAUT_SYRK_NT", "1") == "1"
 
 
 def _tk() -> int:
@@ -128,10 +153,12 @@ def _pairs(nslices: int):
     return [(i, j) for i in range(nslices) for j in range(nslices - i)]
 
 
-def _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, tn=False):
+def _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, tn=False,
+                nt=False):
     """One k-chunk of slice-pair MXU products into the scratches.
-    tn: contract dim 0 of both operands (see _pair_dot_tn)."""
-    dot = _pair_dot_tn if tn else _pair_dot
+    tn: contract dim 0 of both operands (see _pair_dot_tn).
+    nt: contract dim 1 of both operands (see _pair_dot_nt)."""
+    dot = _pair_dot_nt if nt else (_pair_dot_tn if tn else _pair_dot)
     if per_pair:
         for idx, (i, j) in enumerate(_pairs(nslices)):
             acc_refs[idx][:] += dot(a_refs[i][:], b_refs[j][:])
@@ -244,7 +271,7 @@ def _kernel(nslices, nk, lower_only, tmax, per_pair, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_kernel(nslices, nk, per_pair, tk, tri_skip, tn, *refs):
+def _syrk_kernel(nslices, nk, per_pair, tk, tri_skip, tn, nt, *refs):
     """Triangular-grid syrk tile: grid dim 0 walks a host-precomputed
     list of lower-triangle (ti, tj) tile pairs (scalar-prefetched index
     arrays — upper tiles are never visited, never DMA'd); grid dim 1
@@ -293,7 +320,8 @@ def _syrk_kernel(nslices, nk, per_pair, tk, tri_skip, tn, *refs):
 
     @pl.when(active)
     def _():
-        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, tn=tn)
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, tn=tn,
+                    nt=nt)
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -311,7 +339,7 @@ def _syrk_kernel(nslices, nk, per_pair, tk, tri_skip, tn, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_sub_kernel(nslices, nk, per_pair, *refs):
+def _syrk_sub_kernel(nslices, nk, per_pair, nt, *refs):
     """Triangular-grid fused trailing update: A_tile -= panel @ panel.T.
 
     Same slice-pair reduction and dynamic triangular grid as
@@ -350,7 +378,7 @@ def _syrk_sub_kernel(nslices, nk, per_pair, *refs):
 
     @pl.when(active)
     def _():
-        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs)
+        _accumulate(nslices, per_pair, acc_refs, a_refs, b_refs, nt=nt)
 
     @pl.when(kidx == nk - 1)
     def _():
@@ -394,14 +422,15 @@ def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
         Ahi, Alo, panel,
         nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
-        per_pair=_acc_per_pair(), tk=_tk_for(panel.shape[1]))
+        per_pair=_acc_per_pair(), tk=_tk_for(panel.shape[1]),
+        nt=_syrk_nt())
 
 
 @partial(jax.jit,
-         static_argnames=("nslices", "dot_bf16", "per_pair", "tk"))
+         static_argnames=("nslices", "dot_bf16", "per_pair", "tk", "nt"))
 def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
                                     row_start=None, dot_bf16=False,
-                                    per_pair=False, tk=_TK):
+                                    per_pair=False, tk=_TK, nt=False):
     """(Ahi, Alo) -= panel @ panel.T on live lower-triangle tiles, fused.
 
     The trailing matrix is carried as an (hi, lo) f32 pair (~2^-48
@@ -423,17 +452,22 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     m, k = panel.shape
     assert Ahi.shape == (m, m) and Alo.shape == (m, m)
     assert m % _TM == 0, "pair carry requires tile-aligned m"
-    B = panel.T
     sA = precision._pow2_row_scales(panel, axis=1)
     a_sl = precision._int_slices(panel / sA, nslices)
-    b_sl = [a.T for a in a_sl]
+    b_sl = None if nt else [a.T for a in a_sl]
 
     kp = -(-k // tk) * tk
     if kp != k:
         a_sl = [jnp.pad(a, ((0, 0), (0, kp - k))) for a in a_sl]
-        b_sl = [jnp.pad(b, ((0, kp - k), (0, 0))) for b in b_sl]
+        if b_sl is not None:
+            b_sl = [jnp.pad(b, ((0, kp - k), (0, 0))) for b in b_sl]
     a_sl = _slice_operands(a_sl, dot_bf16)
-    b_sl = _slice_operands(b_sl, dot_bf16)
+    if nt:
+        # nt dot: the b operand reads (TN, tk) windows of the SAME
+        # native-layout slice arrays — no transposed copies
+        b_sl = a_sl
+    else:
+        b_sl = _slice_operands(b_sl, dot_bf16)
     nk = kp // tk
     T = m // _TM
     pairs = [(i, j) for j in range(T - 1, -1, -1)
@@ -456,9 +490,14 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     a_spec = pl.BlockSpec(
         (_TM, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
         memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec(
-        (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
-        memory_space=pltpu.VMEM)
+    if nt:
+        b_spec = pl.BlockSpec(
+            (_TN, tk), lambda t, kk, i_a, j_a, r: (j_a[t], kk),
+            memory_space=pltpu.VMEM)
+    else:
+        b_spec = pl.BlockSpec(
+            (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec(
         (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
         memory_space=pltpu.VMEM)
@@ -485,7 +524,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     # then Ahi, Alo (aliased to outputs 0, 1), sa, sb
     base = 3 + 2 * nslices
     nhi, nlo = pl.pallas_call(
-        partial(_syrk_sub_kernel, nslices, nk, per_pair),
+        partial(_syrk_sub_kernel, nslices, nk, per_pair, nt),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((m, m), jnp.float32),
@@ -561,6 +600,90 @@ def _mm_sub_kernel(nslices, nk, tmax, per_pair, *refs):
         def _():
             hi_ref[:] = rhi_ref[:]
             lo_ref[:] = rlo_ref[:]
+
+
+def pallas_int_slice_syrk_sub_pair_presliced(Ahi, Alo, p_sl, sa,
+                                             row_start=None):
+    """(Ahi, Alo) -= P @ P^T on live lower-triangle tiles, with P given
+    as PRE-EXTRACTED int8 slices + exact pow2 row scales (from
+    pallas_panel.pair_to_slices) — the extraction XLA passes of
+    `pallas_int_slice_syrk_sub_pair` disappear entirely.  Rows of p_sl
+    above `row_start` may be UNDEFINED: the dynamic triangular grid
+    never reads them (every live pair has ti >= tj >= row_start/TM)."""
+    return _pallas_int_slice_syrk_sub_pair_presliced(
+        Ahi, Alo, tuple(p_sl), sa, nslices=len(p_sl),
+        row_start=row_start, per_pair=_acc_per_pair(),
+        tk=_tk_for(p_sl[0].shape[1]))
+
+
+@partial(jax.jit,
+         static_argnames=("nslices", "per_pair", "tk"))
+def _pallas_int_slice_syrk_sub_pair_presliced(Ahi, Alo, p_sl, sa,
+                                              nslices: int,
+                                              row_start=None,
+                                              per_pair=False, tk=_TK):
+    m, k = p_sl[0].shape
+    assert Ahi.shape == (m, m) and Alo.shape == (m, m)
+    assert m % _TM == 0 and k % tk == 0
+    a_sl = list(p_sl)
+    b_sl = a_sl  # nt dot: b reads the same native-layout slices
+    nk = k // tk
+    T = m // _TM
+    pairs = [(i, j) for j in range(T - 1, -1, -1)
+             for i in range(T - 1, j - 1, -1)]
+    i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
+    j_arr = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
+    rs = jnp.asarray(
+        [0 if row_start is None else row_start], dtype=jnp.int32)
+    if row_start is None:
+        tgrid = len(pairs)
+    else:
+        kliv = jnp.maximum(
+            jnp.int32(T) - jnp.asarray(row_start, jnp.int32) // _TM, 0)
+        tgrid = jnp.maximum((kliv * (kliv + 1)) // 2, 1)
+
+    sa32 = jnp.broadcast_to(sa.astype(jnp.float32), (m, 128))
+    sb32 = jnp.broadcast_to(
+        sa.reshape(1, -1).astype(jnp.float32), (8, m))
+
+    a_spec = pl.BlockSpec(
+        (_TM, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
+        memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec(
+        (_TN, tk), lambda t, kk, i_a, j_a, r: (j_a[t], kk),
+        memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
+        memory_space=pltpu.VMEM)
+    sa_spec = pl.BlockSpec(
+        (_TM, 128), lambda t, kk, i_a, j_a, r: (i_a[t], np.int32(0)),
+        memory_space=pltpu.VMEM)
+    sb_spec = pl.BlockSpec(
+        (8, _TN), lambda t, kk, i_a, j_a, r: (np.int32(0), j_a[t]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tgrid, nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices
+        + [o_spec, o_spec, sa_spec, sb_spec],
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
+        ],
+    )
+    base = 3 + 2 * nslices
+    nhi, nlo = pl.pallas_call(
+        partial(_syrk_sub_kernel, nslices, nk, per_pair, True),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ),
+        input_output_aliases={base: 0, base + 1: 1},
+        interpret=interpret_mode(),
+    )(i_arr, j_arr, rs, *a_sl, *b_sl, Ahi, Alo, sa32, sb32)
+    return nhi, nlo
 
 
 def pallas_int_slice_mm_sub_pair(Rhi, Rlo, A, B, nslices: int | None = None,
@@ -688,15 +811,15 @@ def pallas_int_slice_syrk_lower(A, nslices: int | None = None,
         A, nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
         per_pair=_acc_per_pair(), tk=_tk_for(A.shape[1]),
-        a_upper=a_upper)
+        a_upper=a_upper, nt=_syrk_nt())
 
 
 @partial(jax.jit,
          static_argnames=(
-             "nslices", "dot_bf16", "per_pair", "tk", "a_upper"))
+             "nslices", "dot_bf16", "per_pair", "tk", "a_upper", "nt"))
 def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
                                  dot_bf16=False, per_pair=False, tk=_TK,
-                                 a_upper=False):
+                                 a_upper=False, nt=False):
     """C = A @ A.T, LOWER-TRIANGLE TILES ONLY, via a triangular grid.
 
     Strictly-upper 256-tiles of the output are NEVER COMPUTED OR
@@ -720,19 +843,23 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
     row tile skip the MXU — exact, ~2/3 of the dense chunk work."""
     out_dtype = A.dtype
     m, k = A.shape
-    B = A.T
     sA = precision._pow2_row_scales(A, axis=1)
     sB = sA.reshape(1, -1)
     a_sl = precision._int_slices(A / sA, nslices)
-    b_sl = [a.T for a in a_sl]
+    b_sl = None if nt else [a.T for a in a_sl]
 
     mp = -(-m // _TM) * _TM
     kp = -(-k // tk) * tk
     if (mp, kp) != (m, k):
         a_sl = [jnp.pad(a, ((0, mp - m), (0, kp - k))) for a in a_sl]
-        b_sl = [jnp.pad(b, ((0, kp - k), (0, mp - m))) for b in b_sl]
+        if b_sl is not None:
+            b_sl = [jnp.pad(b, ((0, kp - k), (0, mp - m))) for b in b_sl]
     a_sl = _slice_operands(a_sl, dot_bf16)
-    b_sl = _slice_operands(b_sl, dot_bf16)
+    if nt:
+        # nt dot: b reads (TN, tk) windows of the same slice arrays
+        b_sl = a_sl
+    else:
+        b_sl = _slice_operands(b_sl, dot_bf16)
     nk = kp // tk
     T = mp // _TM
     # descending tile column, then descending row: dead pairs (tj wholly
@@ -752,9 +879,14 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
     a_spec = pl.BlockSpec(
         (_TM, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
         memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec(
-        (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
-        memory_space=pltpu.VMEM)
+    if nt:
+        b_spec = pl.BlockSpec(
+            (_TN, tk), lambda t, kk, i_a, j_a, r: (j_a[t], kk),
+            memory_space=pltpu.VMEM)
+    else:
+        b_spec = pl.BlockSpec(
+            (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec(
         (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
         memory_space=pltpu.VMEM)
@@ -769,7 +901,8 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
         ],
     )
     hi, lo = pl.pallas_call(
-        partial(_syrk_kernel, nslices, nk, per_pair, tk, a_upper, False),
+        partial(_syrk_kernel, nslices, nk, per_pair, tk, a_upper, False,
+                nt),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
@@ -852,7 +985,8 @@ def _pallas_int_slice_syrk_tn_lower(W, nslices: int, dot_bf16=False,
         ],
     )
     hi, lo = pl.pallas_call(
-        partial(_syrk_kernel, nslices, nk, per_pair, tk, w_lower, True),
+        partial(_syrk_kernel, nslices, nk, per_pair, tk, w_lower, True,
+                False),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),

@@ -330,3 +330,40 @@ def test_pallas_syrk_tn_lower(rng):
     assert err < 1e-10 * np.abs(want).max(), err
     np.testing.assert_array_equal(
         np.where(tril, skip, 0.0), np.where(tril, got, 0.0))
+
+
+def test_syrk_nt_dot_bit_identical(rng):
+    """ANDVARANAUT_SYRK_NT reads the syrk b operand from the SAME
+    native-layout slice arrays via the nt dot (a @ b^T) instead of
+    materialising transposed int8 copies.  Identical slice values in a
+    different layout -> the int32 pair sums, and hence the outputs,
+    must be BIT-identical."""
+    from andvaranaut_tpu.gp import pallas_slicemm as ps
+
+    P = jnp.asarray(rng.standard_normal((512, 256)))
+    tril = np.tril(np.ones((512, 512), bool))
+    S0 = np.asarray(ps._pallas_int_slice_syrk_lower(
+        P, nslices=6, nt=False))
+    S1 = np.asarray(ps._pallas_int_slice_syrk_lower(
+        P, nslices=6, nt=True))
+    np.testing.assert_array_equal(S0[tril], S1[tril])
+
+    Ah = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32))
+    Al = jnp.asarray(
+        (rng.standard_normal((512, 512)) * 1e-8).astype(np.float32))
+    h0, l0 = ps._pallas_int_slice_syrk_sub_pair(
+        Ah, Al, P, nslices=6, nt=False)
+    h1, l1 = ps._pallas_int_slice_syrk_sub_pair(
+        Ah, Al, P, nslices=6, nt=True)
+    np.testing.assert_array_equal(np.asarray(h0)[tril], np.asarray(h1)[tril])
+    np.testing.assert_array_equal(np.asarray(l0)[tril], np.asarray(l1)[tril])
+
+    # row_start (dynamic grid) path, padded k
+    P2 = jnp.asarray(rng.standard_normal((512, 200)))
+    h2, l2 = ps._pallas_int_slice_syrk_sub_pair(
+        Ah, Al, P2, nslices=6, row_start=256, nt=False)
+    h3, l3 = ps._pallas_int_slice_syrk_sub_pair(
+        Ah, Al, P2, nslices=6, row_start=256, nt=True)
+    live = tril & (np.arange(512)[None, :] >= 256)
+    np.testing.assert_array_equal(np.asarray(h2)[live], np.asarray(h3)[live])
+    np.testing.assert_array_equal(np.asarray(l2)[live], np.asarray(l3)[live])
