@@ -47,6 +47,27 @@ def _default_rvpack(nx, kerns, noise, truncate=False):
     return engine.build_rvs(cfg)
 
 
+def _grad_inv_iters() -> int:
+    """ANDVARANAUT_GRAD_INV_ITERS: refinement sweeps of the L^-1
+    identity solve inside the GRADIENT pipeline (default 2).
+
+    Each sweep is two extra (block, n) slice matmuls per factorisation
+    step PLUS their operand re-extraction — ~40% of the L^-1 stage's
+    work.  The solve's grade only feeds K^-1's trace term in the
+    gradient (the LOGPOST value path never touches it), and the
+    0-sweep composed-substitution grade (~1e-9, the seed-inverse
+    measurement in precision._chol_inv_seeded) is far below what
+    L-BFGS needs from a gradient; knob for on-chip A/B with parity
+    pinned by tests at both settings."""
+    import os
+
+    v = int(os.environ.get("ANDVARANAUT_GRAD_INV_ITERS", "2"))
+    if v < 0:
+        raise ValueError(
+            "ANDVARANAUT_GRAD_INV_ITERS must be >= 0, got %d" % v)
+    return v
+
+
 def nlml_value_and_grad(X, y, z, kerns=("RBF",), ops=(), noise=True,
                         jitter=1e-6, block: int = 1024, rvpack=None):
     """Log marginal likelihood and gradient wrt unconstrained z for the
@@ -59,12 +80,14 @@ def nlml_value_and_grad(X, y, z, kerns=("RBF",), ops=(), noise=True,
     if rvpack is None:
         rvpack = _default_rvpack(X.shape[1], kerns, noise)
     return _nlml_vg(X, y, z, rvpack, tuple(kerns), tuple(ops), noise,
-                    float(jitter), int(block))
+                    float(jitter), int(block),
+                    inv_iters=_grad_inv_iters())
 
 
 @partial(jax.jit, static_argnames=(
-    "rvpack", "kerns", "ops", "noise", "jitter", "block"))
-def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
+    "rvpack", "kerns", "ops", "noise", "jitter", "block", "inv_iters"))
+def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block,
+             inv_iters=2):
     n, nx = X.shape
     has_alpha = "RatQuad" in kerns
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -104,10 +127,6 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     # the 15.7 GB chip).  Its upper triangle is exact zero by
     # construction — no tril pass — so the syrk's w_lower k-chunk skip
     # stays exact.
-    if Dinv.shape[0] == 1 and Dinv.shape[1] == n:
-        Linv = jnp.tril(Dinv[0])
-    else:
-        Linv = precision.blocked_inv_lower(L, Dinv=Dinv)
     # K^-1 is symmetric: compute lower TILE-tiles only through the
     # triangular-grid A^T A syrk (half the MXU work of the full square
     # product), consuming L^-1 in its NATIVE layout — feeding the
@@ -121,7 +140,28 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block):
     # there).  At 16k the mirror would be two extra n^2 f64 buffers
     # (~4 GB) on a chip the whole-matrix reverse pass already OOMed
     # once.
-    C = precision.slice_syrk_tn_lower(Linv, w_lower=True)
+    from . import pallas_panel
+
+    single_block = Dinv.shape[0] == 1 and Dinv.shape[1] == n
+    if (not single_block and pallas_panel.use_fused_grad()
+            and n % block == 0 and precision._use_pair_carry(block, n)):
+        # pair-native pipeline: L^-1 stays an (hi, lo) f32 pair, its
+        # slices come from one VPU kernel with column scales, and the
+        # tn syrk runs pre-sliced — no f64 assembly or re-extraction
+        from . import pallas_slicemm
+
+        rhi, rlo = precision.blocked_inv_lower(
+            L, Dinv=Dinv, solve_iters=inv_iters, return_pair=True)
+        w_sl, sW = pallas_panel.pair_to_slices_cols(rhi, rlo)
+        C = pallas_slicemm.pallas_int_slice_syrk_tn_lower_presliced(
+            w_sl, sW, K.dtype, w_lower=True)
+    else:
+        if single_block:
+            Linv = jnp.tril(Dinv[0])
+        else:
+            Linv = precision.blocked_inv_lower(
+                L, Dinv=Dinv, solve_iters=inv_iters)
+        C = precision.slice_syrk_tn_lower(Linv, w_lower=True)
 
     # All hyperparameter gradients via reverse AD of the ELEMENTWISE Gram
     # assembly with a and K^-1 held constant:

@@ -998,6 +998,70 @@ def _pallas_int_slice_syrk_tn_lower(W, nslices: int, dot_bf16=False,
     return C * (sW.reshape(-1, 1) * sW)
 
 
+def pallas_int_slice_syrk_tn_lower_presliced(w_sl, sW, out_dtype,
+                                             w_lower: bool = False):
+    """C = W^T @ W (lower TILE-tiles only) with W given as pre-extracted
+    native-layout int8 slices + exact pow2 COLUMN scales (from
+    pallas_panel.pair_to_slices_cols) — the in-wrapper f64 extraction of
+    `pallas_int_slice_syrk_tn_lower` disappears."""
+    return _pallas_int_slice_syrk_tn_lower_presliced(
+        tuple(w_sl), sW, nslices=len(w_sl),
+        out_dtype=jnp.dtype(out_dtype).name, per_pair=_acc_per_pair(),
+        tk=_tk_for(w_sl[0].shape[0]), w_lower=w_lower)
+
+
+@partial(jax.jit,
+         static_argnames=("nslices", "out_dtype", "per_pair", "tk",
+                          "w_lower"))
+def _pallas_int_slice_syrk_tn_lower_presliced(w_sl, sW, nslices: int,
+                                              out_dtype="float64",
+                                              per_pair=False, tk=_TK,
+                                              w_lower=False):
+    k, m = w_sl[0].shape
+    assert k == m and m % _TM == 0 and k % tk == 0
+    nk = k // tk
+    T = m // _TM
+    pairs = [(i, j) for j in range(T - 1, -1, -1)
+             for i in range(T - 1, j - 1, -1)]
+    i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
+    j_arr = jnp.asarray(np.array([p[1] for p in pairs], dtype=np.int32))
+    rs = jnp.zeros((1,), dtype=jnp.int32)
+
+    a_spec = pl.BlockSpec(
+        (tk, _TM), lambda t, kk, i_a, j_a, r: (kk, i_a[t]),
+        memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec(
+        (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+        memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(len(pairs), nk),
+        in_specs=[a_spec] * nslices + [b_spec] * nslices,
+        out_specs=(o_spec, o_spec),
+        scratch_shapes=[
+            pltpu.VMEM((_TM, _TN), jnp.int32)
+            for _ in range(_n_scratch(nslices, per_pair))
+        ],
+    )
+    hi, lo = pl.pallas_call(
+        partial(_syrk_kernel, nslices, nk, per_pair, tk, w_lower, True,
+                False),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        ),
+        interpret=interpret_mode(),
+    )(i_arr, j_arr, rs, *w_sl, *w_sl)
+    dt = jnp.dtype(out_dtype)
+    C = hi.astype(dt) + lo.astype(dt)
+    sW = sW.astype(dt)
+    return C * (sW.reshape(-1, 1) * sW.reshape(1, -1))
+
+
 def pallas_int_slice_matmul(A, B, nslices: int | None = None,
                             lower_only: bool = False,
                             row_start=None, col_start=None,

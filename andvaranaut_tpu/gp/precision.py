@@ -708,11 +708,21 @@ def _chol_steps_pair(Ahi, Alo, nsteps: int, block: int, nslices: int,
     """`nsteps` factorisation steps with the trailing matrix carried as
     an (hi, lo) f32 pair; the trailing syrk update runs fused in-place
     in the Pallas kernel (see PAIR_CARRY).  Finished L columns
-    accumulate pair-split in the planes' lower triangle."""
-    from . import pallas_slicemm
+    accumulate pair-split in the planes' lower triangle.
+
+    With ANDVARANAUT_FUSED_PANEL (default on for TPU) the whole panel
+    stage runs in-kernel: the column block is sliced from the pair
+    carry directly, the panel product lands in the carry in place, and
+    the trailing syrk consumes pre-extracted slices — removing ~25
+    full-matrix XLA glue passes per step (pallas_panel docstring).  The
+    stale strictly-upper values this leaves in the carry's finished
+    columns are never consumed: every later read is tril-masked or
+    row_start-gated (callers of _chol_steps_pair tril() the planes)."""
+    from . import pallas_panel, pallas_slicemm
 
     m = Ahi.shape[0]
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    fused_panel = pallas_panel.use_fused_panel() and block % TILE == 0
 
     def body(j, carry):
         Ahi, Alo, Dinv = carry
@@ -724,6 +734,19 @@ def _chol_steps_pair(Ahi, Alo, nsteps: int, block: int, nslices: int,
         Ajj = jnp.tril(Ajj) + jnp.tril(Ajj, -1).T
         Ljj, Linv = _chol_inv_diag(Ajj, True, nslices)
         Dinv = jax.lax.dynamic_update_slice(Dinv, Linv[None], (j, 0, 0))
+        if fused_panel:
+            rs = lo + block
+            Ahi, Alo = pallas_panel.panel_into_carry(
+                Ahi, Alo, Linv, lo, rs, block)
+            Ljh, Ljl = _pair_split(Ljj)
+            Ahi = jax.lax.dynamic_update_slice(Ahi, Ljh, (lo, lo))
+            Alo = jax.lax.dynamic_update_slice(Alo, Ljl, (lo, lo))
+            p_sl, saP = pallas_panel.pair_to_slices(
+                Ahi, Alo, lo, rs, block)
+            Ahi, Alo = (
+                pallas_slicemm.pallas_int_slice_syrk_sub_pair_presliced(
+                    Ahi, Alo, p_sl, saP, row_start=rs))
+            return Ahi, Alo, Dinv
         cols = (
             jax.lax.dynamic_slice(Ahi, (0, lo), (m, block)).astype(dt)
             + jax.lax.dynamic_slice(Alo, (0, lo), (m, block)).astype(dt))
@@ -1055,7 +1078,7 @@ def _inv_lower_pair(L, Dinv, block: int, nslices: int, solve_iters: int):
 
 def blocked_inv_lower(L, Dinv=None, block: int = 256,
                       nslices: int = DEFAULT_NSLICES,
-                      solve_iters: int = 2):
+                      solve_iters: int = 2, return_pair: bool = False):
     """Full triangular inverse X = L^-1 (L lower), native layout.
 
     On the pair-carry path (TPU, or PAIR_CARRY=2 for CPU parity tests)
@@ -1064,21 +1087,30 @@ def blocked_inv_lower(L, Dinv=None, block: int = 256,
     no tril pass.  Otherwise it falls back to the generic identity
     solve (blocked_solve_lower with rhs_lower) plus a tril mask, since
     that path's row_start-compacted updates leave rows above the
-    current step UNDEFINED."""
+    current step UNDEFINED.
+
+    return_pair=True returns the (hi, lo) f32 pair instead of the f64
+    assembly — the pre-sliced K^-1 syrk consumes it directly
+    (pallas_panel.pair_to_slices_cols), skipping two full-matrix
+    assembly passes."""
     if Dinv is not None:
         block = Dinv.shape[1]
     n = L.shape[0]
     dt = L.dtype
     if n <= block:
-        return jnp.tril(
+        X = jnp.tril(
             Dinv[0] if Dinv is not None else tri_inv_mixed(
                 L, nslices=nslices))
+        return _pair_split(X) if return_pair else X
     if n % block == 0 and _use_pair_carry(block, n):
         rhi, rlo = _inv_lower_pair(L, Dinv, block, nslices, solve_iters)
+        if return_pair:
+            return rhi, rlo
         return rhi.astype(dt) + rlo.astype(dt)
-    return jnp.tril(blocked_solve_lower(
+    X = jnp.tril(blocked_solve_lower(
         L, jnp.eye(n, dtype=dt), block=block, nslices=nslices,
         Dinv=Dinv, solve_iters=solve_iters, rhs_lower=True))
+    return _pair_split(X) if return_pair else X
 
 
 @jax.custom_vjp

@@ -614,3 +614,102 @@ def test_bigfit_grad_parity_pair_path(rng, monkeypatch):
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_panel_cholesky_parity(rng, monkeypatch):
+    """ANDVARANAUT_FUSED_PANEL=2 (in-kernel column-block slicing, panel
+    product written in place into the carry, pre-sliced trailing syrk)
+    must match the unfused pair-carry path to well under the
+    slice-product grade — including the stale-upper-triangle contract
+    (finished columns keep junk above the diagonal that every consumer
+    must mask)."""
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_PANEL", "2")
+    n = 1024
+    K = _spd(n, rng, cond=1e6)
+    Kj = jnp.asarray(K)
+    L, Dinv = precision.blocked_cholesky(Kj, block=256, return_inv=True)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_PANEL", "0")
+    L0, Dinv0 = precision.blocked_cholesky(Kj, block=256, return_inv=True)
+    dL = np.abs(np.tril(np.asarray(L)) - np.tril(np.asarray(L0))).max()
+    assert dL < 1e-9 * np.abs(np.asarray(L0)).max(), dL
+    dD = np.abs(np.asarray(Dinv) - np.asarray(Dinv0)).max()
+    assert dD < 1e-7 * np.abs(np.asarray(Dinv0)).max(), dD
+    rec = np.abs(np.tril(np.asarray(L)) @ np.tril(np.asarray(L)).T - K).max()
+    assert rec / np.abs(K).max() < 5e-7, rec
+
+
+def test_fused_panel_slices_reconstruct(rng, monkeypatch):
+    """pair_to_slices must reproduce the sliced value to the 6-slice
+    truncation grade: sum_s c_s 2^-7(s+1) * sa == v to ~2^-42 * sa."""
+    from andvaranaut_tpu.gp import pallas_panel
+
+    monkeypatch.setenv("ANDVARANAUT_FUSED_PANEL", "2")
+    m, block = 512, 256
+    V = rng.standard_normal((m, m)) * np.exp(rng.normal(size=(m, 1)))
+    Vh = jnp.asarray(V.astype(np.float32))
+    Vl = jnp.asarray((V - np.asarray(Vh)).astype(np.float32))
+    sl, sa = pallas_panel.pair_to_slices(Vh, Vl, 0, 256, block)
+    w = np.asarray(
+        [2.0 ** (-7.0 * (s + 1)) for s in range(len(sl))])
+    rec = sum(np.asarray(s)[256:].astype(np.float64) * wi
+              for s, wi in zip(sl, w))
+    rec = rec * np.asarray(sa)[256:]
+    v = np.asarray(Vh).astype(np.float64) + np.asarray(Vl)
+    err = np.abs(rec - v[256:, :block]).max()
+    assert err < 2.0 ** -40 * np.abs(np.asarray(sa)).max(), err
+
+
+def test_fused_panel_nlml_parity(rng, monkeypatch):
+    """End-to-end mixed NLML through the fused panel kernels must match
+    the host f64 value to the usual mixed-path tolerance."""
+    from andvaranaut_tpu.gp import kernels
+
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_PANEL", "2")
+    n = 768
+    X = jnp.asarray(rng.uniform(size=(n, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0]))
+                    + 0.01 * rng.normal(size=n))
+    K = kernels.gram(("RBF",), (), X, None, jnp.asarray([0.5, 0.7]),
+                     jnp.asarray([1.0]), None)
+    K = K + (1e-4 + 1e-6) * jnp.eye(n)
+    nlml = float(precision.mixed_nlml(K, y, block=256))
+    ref = float(engine.chol_nlml(K, y))
+    assert abs(nlml - ref) / abs(ref) < 1e-6, (nlml, ref)
+
+
+def test_bigfit_grad_parity_fused_panel(rng, monkeypatch):
+    """The gradient pipeline with the pair-native K^-1 route
+    (FUSED_GRAD=2: pair L^-1 + column-scale slice kernel + pre-sliced
+    tn syrk) must agree with the unfused pair route, at both
+    GRAD_INV_ITERS settings."""
+    from andvaranaut_tpu.gp import bigfit
+
+    n, nx = 512, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2 + 0.01 * rng.normal(size=n)
+    z = jnp.asarray(np.log([1e-3, 0.8, 1.7, 2.5]))
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_GRAD", "2")
+    bigfit._nlml_vg.clear_cache()
+    v1, g1 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    monkeypatch.setenv("ANDVARANAUT_GRAD_INV_ITERS", "0")
+    bigfit._nlml_vg.clear_cache()
+    v2, g2 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    monkeypatch.delenv("ANDVARANAUT_GRAD_INV_ITERS")
+    monkeypatch.setenv("ANDVARANAUT_FUSED_GRAD", "0")
+    bigfit._nlml_vg.clear_cache()
+    v0, g0 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    bigfit._nlml_vg.clear_cache()
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+    # iters=0: composed-substitution L^-1 grade (~1e-9) — still far
+    # below anything a gradient consumer can see
+    np.testing.assert_allclose(float(v2), float(v0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
+                               rtol=1e-3, atol=1e-5)
