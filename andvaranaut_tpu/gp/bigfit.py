@@ -140,28 +140,7 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block,
     # there).  At 16k the mirror would be two extra n^2 f64 buffers
     # (~4 GB) on a chip the whole-matrix reverse pass already OOMed
     # once.
-    from . import pallas_panel
-
-    single_block = Dinv.shape[0] == 1 and Dinv.shape[1] == n
-    if (not single_block and pallas_panel.use_fused_grad()
-            and n % block == 0 and precision._use_pair_carry(block, n)):
-        # pair-native pipeline: L^-1 stays an (hi, lo) f32 pair, its
-        # slices come from one VPU kernel with column scales, and the
-        # tn syrk runs pre-sliced — no f64 assembly or re-extraction
-        from . import pallas_slicemm
-
-        rhi, rlo = precision.blocked_inv_lower(
-            L, Dinv=Dinv, solve_iters=inv_iters, return_pair=True)
-        w_sl, sW = pallas_panel.pair_to_slices_cols(rhi, rlo)
-        C = pallas_slicemm.pallas_int_slice_syrk_tn_lower_presliced(
-            w_sl, sW, K.dtype, w_lower=True)
-    else:
-        if single_block:
-            Linv = jnp.tril(Dinv[0])
-        else:
-            Linv = precision.blocked_inv_lower(
-                L, Dinv=Dinv, solve_iters=inv_iters)
-        C = precision.slice_syrk_tn_lower(Linv, w_lower=True)
+    C = _kinv_lower(K, L, Dinv, n, block, inv_iters)
 
     # All hyperparameter gradients via reverse AD of the ELEMENTWISE Gram
     # assembly with a and K^-1 held constant:
@@ -234,6 +213,188 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block,
     return logl, grads
 
 
+def make_warped_vg(cfg, block: int = 1024):
+    """(rvpack, value_and_grad) for iwgp/cwgp FitConfigs through the
+    mixed-precision factorisation — the large-N learnable-warping fit
+    the reference runs through PyMC's symbolic graph
+    (gpmcmc.py:211-277, 310-319).
+
+    The kernel-hyperparameter gradients use the same closed form as
+    `_nlml_vg` (W = (a a' - K^-1)/2 contracted against the jvp-safe
+    elementwise Gram assembly), with the warped inputs x~(z) rebuilt
+    INSIDE the per-column-block checkpoint so iwgp gradients flow
+    through the Gram jvp.  The cwgp terms need no factorisation at
+    all: d(-1/2 y~' K^-1 y~)/dp = -a' dy~/dp with a = K^-1 y~ held
+    constant, and the warping-Jacobian term sum(log der) is
+    elementwise — both come from one cheap reverse-AD pass over
+    n-sized arrays.  The log-determinant has no y~ dependence.
+
+    Reference RV order/priors come from engine.build_rvs; data-fitted
+    wgp stages refit against the running warped data per evaluation
+    exactly as the symbolic path does (engine._iwgp_xin /
+    transform.wgp semantics)."""
+    from . import engine
+
+    rvpack = engine.build_rvs(cfg)
+    n, nx = cfg.x.shape
+    y1 = cfg.y[:, 0]
+    kerns = tuple(cfg.kerns)
+    ops = tuple(cfg.ops)
+    noise = cfg.noise
+    jitter = float(cfg.jitter)
+    has_alpha = "RatQuad" in kerns
+    import andvaranaut_tpu.transform as tf
+
+    if not cfg.iwgp:
+        xin_fixed = np.zeros((n, nx))
+        for i in range(nx):
+            xin_fixed[:, i] = np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
+        xin_fixed = jnp.asarray(xin_fixed)
+        fixed_cols = None
+    else:
+        xin_fixed = None
+        fixed_cols = {
+            i: jnp.asarray(np.asarray(cr.con(cfg.x[:, i])))
+            for i, cr in enumerate(cfg.xconrevs)
+            if not isinstance(cr, tf.wgp)
+        }
+    if not cfg.cwgp:
+        yin_fixed = jnp.asarray(np.asarray(cfg.yconrevs[0].con(y1)))
+    pos_mask = (
+        np.asarray(cfg.yconrevs[0].pos) if cfg.cwgp else None)
+    y1j = jnp.asarray(y1)
+
+    def xin_of(vals):
+        if cfg.iwgp:
+            return engine._iwgp_xin(cfg, vals, fixed_cols)
+        return xin_fixed
+
+    def yin_ldj_of(vals):
+        if cfg.cwgp:
+            params = engine.interleave_cwgp(vals, pos_mask)
+            warper = tf.wgp(
+                cfg.yconrevs[0].warping_names, params, y=y1j)
+            return warper.con(y1j), jnp.sum(jnp.log(warper.der(y1j)))
+        return yin_fixed, jnp.asarray(0.0)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    inv_iters = _grad_inv_iters()
+
+    @jax.jit
+    def value_and_grad(z):
+        vals = rvpack.unpack(z)
+        gv = vals["gv"][0] if noise else jnp.asarray(0.0, z.dtype)
+        l = vals["l"]
+        kv = vals["kv"]
+        alpha_p = vals["alpha"][0] if has_alpha else None
+        xin = xin_of(vals)
+        yin, ldj = yin_ldj_of(vals)
+        K = kernels.gram(kerns, ops, xin, None, l, kv, alpha_p)
+        K = K + jnp.where(row_iota == col_iota, jitter + gv, 0.0)
+        L, Dinv = precision.blocked_cholesky(
+            K, block=block, return_inv=True)
+        alpha_vec = precision.refined_chol_solve(
+            L, K, yin, block=block, Dinv=Dinv)
+        logl = (
+            -0.5 * jnp.dot(yin, alpha_vec)
+            - jnp.sum(jnp.log(jnp.diag(L)))
+            - 0.5 * n * _LOG_2PI
+            + ldj
+        )
+        C = _kinv_lower(K, L, Dinv, n, block, inv_iters)
+        a_c = jax.lax.stop_gradient(alpha_vec)
+        C_c = jax.lax.stop_gradient(C)
+
+        gb = min(2048, n)
+        npad_cols = -(-n // gb) * gb
+        nblocks = npad_cols // gb
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        _TG = 256
+
+        def block_term(carry, s):
+            aB = jax.lax.dynamic_slice(
+                jnp.pad(a_c, (0, npad_cols - n)) if npad_cols != n
+                else a_c, (s,), (gb,))
+            if npad_cols != n:
+                Cp = jnp.pad(
+                    C_c, ((0, npad_cols - n), (0, npad_cols - n)))
+            else:
+                Cp = C_c
+            CB = jax.lax.dynamic_slice(Cp, (0, s), (n, gb))
+            CRB = jax.lax.dynamic_slice(Cp, (s, 0), (gb, n)).T
+            col_tile = (s + jnp.arange(gb))[None, :] // _TG
+            KinvB = jnp.where(row_ids // _TG >= col_tile, CB, CRB)
+            col_ids = s + jnp.arange(gb)
+            WB = jnp.where(
+                (col_ids < n)[None, :],
+                0.5 * (a_c[:, None] * aB[None, :] - KinvB), 0.0)
+
+            @jax.checkpoint
+            def h(zz):
+                # the warped inputs are rebuilt inside the checkpoint:
+                # iwgp gradients flow through the elementwise Gram jvp
+                vz = rvpack.unpack(zz)
+                gv_ = (vz["gv"][0] if noise
+                       else jnp.asarray(0.0, zz.dtype))
+                xz = xin_of(vz)
+                xzB = (
+                    jax.lax.dynamic_slice(
+                        jnp.pad(xz, ((0, npad_cols - n), (0, 0))),
+                        (s, 0), (gb, nx))
+                    if npad_cols != n
+                    else jax.lax.dynamic_slice(xz, (s, 0), (gb, nx)))
+                az = vz["alpha"][0] if has_alpha else None
+                Kc = kernels.gram(kerns, ops, xz, xzB, vz["l"],
+                                  vz["kv"], az)
+                cids = s + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, gb), 1)
+                diag = (row_ids == cids).astype(Kc.dtype)
+                return jnp.sum(WB * (Kc + (jitter + gv_) * diag))
+
+            return carry + jax.grad(h)(z), None
+
+        starts = jnp.arange(nblocks) * gb
+        gK, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
+
+        if cfg.cwgp:
+            def warp_terms(zz):
+                vz = rvpack.unpack(zz)
+                yz, ldjz = yin_ldj_of(vz)
+                return -jnp.dot(a_c, yz) + ldjz
+
+            gW = jax.grad(warp_terms)(z)
+        else:
+            gW = jnp.zeros_like(z)
+        return logl, gK + gW
+
+    return rvpack, value_and_grad
+
+
+def _kinv_lower(K, L, Dinv, n, block, inv_iters):
+    """K^-1's lower TILE-tiles through the stored block inverses (the
+    shared tail of both gradient pipelines — see the route notes in
+    _nlml_vg)."""
+    from . import pallas_panel
+
+    single_block = Dinv.shape[0] == 1 and Dinv.shape[1] == n
+    if (not single_block and pallas_panel.use_fused_grad()
+            and n % block == 0 and precision._use_pair_carry(block, n)):
+        from . import pallas_slicemm
+
+        rhi, rlo = precision.blocked_inv_lower(
+            L, Dinv=Dinv, solve_iters=inv_iters, return_pair=True)
+        w_sl, sW = pallas_panel.pair_to_slices_cols(rhi, rlo)
+        return pallas_slicemm.pallas_int_slice_syrk_tn_lower_presliced(
+            w_sl, sW, K.dtype, w_lower=True)
+    if single_block:
+        Linv = jnp.tril(Dinv[0])
+    else:
+        Linv = precision.blocked_inv_lower(
+            L, Dinv=Dinv, solve_iters=inv_iters)
+    return precision.slice_syrk_tn_lower(Linv, w_lower=True)
+
+
 def make_mixed_objective(X, y, kerns=("RBF",), ops=(), noise=True,
                          truncate=False, jitter=1e-6, block: int = 256):
     """(rvpack, neg_log_post) with the NLML through the mixed-precision
@@ -275,6 +436,68 @@ def make_mixed_objective(X, y, kerns=("RBF",), ops=(), noise=True,
         return -(logl_fn(z) + rvpack.log_prior(z))
 
     return rvpack, neg_log_post
+
+
+def big_warped_map_fit(cfg, block: int = 1024, maxiter: int = 50,
+                       start=None, restarts: int = 1, seed: int = 0,
+                       verbose: bool = False, ftol: float = 1e-7):
+    """MAP fit with learnable warpings (iwgp/cwgp) at large N: host
+    L-BFGS-B over the jitted mixed-precision value+grad of
+    make_warped_vg.  No log-space box (warp parameters are regularised
+    by their reference priors, gpmcmc.py:211-264); non-finite
+    evaluations steer the line search back as in big_map_fit.
+
+    Returns (hypers dict incl. iwgp/cwgp blocks, log posterior)."""
+    from scipy.optimize import minimize
+
+    rvpack, vg = make_warped_vg(cfg, block=block)
+    prior_grad = jax.jit(jax.value_and_grad(rvpack.log_prior))
+
+    def fun(z_np):
+        import time as _time
+
+        t0 = _time.time()
+        z = jnp.asarray(z_np)
+        logl, g = vg(z)
+        lp, gp_ = prior_grad(z)
+        val = -(float(logl) + float(lp))
+        grad = -(np.asarray(g) + np.asarray(gp_))
+        if not np.isfinite(val) or not np.isfinite(grad).all():
+            val = 1e12
+            grad = np.nan_to_num(grad, nan=0.0, posinf=0.0, neginf=0.0)
+        if verbose:
+            print(f"  nlp={val:.6f} ({_time.time() - t0:.2f} s)")
+        return val, grad
+
+    z0 = (
+        np.asarray(rvpack.pack_values(start)) if start is not None
+        else np.asarray(rvpack.z0()))
+    rng = np.random.default_rng(seed)
+    best = None
+    last_err = None
+    for r in range(max(1, restarts)):
+        zr = z0 if r == 0 else rng.normal(size=rvpack.total)
+        try:
+            res = minimize(fun, zr, jac=True, method="L-BFGS-B",
+                           options={"maxiter": maxiter, "ftol": ftol})
+        except Exception as e:  # noqa: BLE001 — restart loop (see
+            # big_map_fit): keep the cause for the all-starts error
+            last_err = e
+            print(f"big_warped_map_fit: start {r} failed: {e!r}")
+            continue
+        if np.isfinite(res.fun) and (best is None or res.fun < best.fun):
+            best = res
+    if best is None:
+        raise RuntimeError(
+            "mixed-precision warped MAP failed from all starts"
+        ) from last_err
+    vals = rvpack.unpack(jnp.asarray(best.x))
+    hypers = {k: np.asarray(v) for k, v in vals.items()}
+    if "gv" in hypers:
+        hypers["gv"] = hypers["gv"].reshape(())
+    if "alpha" in hypers:
+        hypers["alpha"] = hypers["alpha"].reshape(())
+    return hypers, -float(best.fun)
 
 
 def big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,

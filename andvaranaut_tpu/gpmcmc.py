@@ -306,21 +306,22 @@ class GPMCMC(LHC):
             elif precision_ == "mixed":
                 # large-N path: closed-form gradients through the
                 # int8-Ozaki blocked factorisation (gp/bigfit.py); full
-                # kernel algebra supported, learnable warpings stay on
-                # the f64 autodiff path
+                # kernel algebra + learnable warpings (iwgp/cwgp via
+                # make_warped_vg: kernel grads closed-form, warp grads
+                # one elementwise AD pass off the stored alpha)
                 from .gp import bigfit
 
                 if iwgp or cwgp:
-                    raise Exception(
-                        "precision='mixed' fitting does not support "
-                        "learnable warpings (iwgp/cwgp); use "
-                        "precision='f64'")
-                xin = _apply_conrevs(self.xconrevs, x, "con")
-                yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
-                mp, _logp = bigfit.big_map_fit(
-                    xin, yin, kerns=tuple(self.kerns), ops=tuple(self.ops),
-                    noise=self.noise, truncate=truncate, jitter=jitter,
-                    start=start, restarts=restarts, **kwargs)
+                    mp, _logp = bigfit.big_warped_map_fit(
+                        cfg, start=start, restarts=restarts, **kwargs)
+                else:
+                    xin = _apply_conrevs(self.xconrevs, x, "con")
+                    yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
+                    mp, _logp = bigfit.big_map_fit(
+                        xin, yin, kerns=tuple(self.kerns),
+                        ops=tuple(self.ops), noise=self.noise,
+                        truncate=truncate, jitter=jitter,
+                        start=start, restarts=restarts, **kwargs)
             else:
                 mp, _logp = engine.map_fit(
                     cfg, start=start, restarts=restarts, **kwargs)

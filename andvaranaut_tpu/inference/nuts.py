@@ -1178,6 +1178,21 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     return data
 
 
+def _resolve_mcmc_block(n: int) -> int:
+    """Factorisation block of the mixed MCMC objective (see the inline
+    rationale at the make_mixed_objective call site);
+    ANDVARANAUT_MCMC_BLOCK overrides."""
+    env_block = _os.environ.get("ANDVARANAUT_MCMC_BLOCK")
+    if env_block:
+        block = int(env_block)
+        if block < 1:
+            raise ValueError(
+                "ANDVARANAUT_MCMC_BLOCK must be a positive int, got "
+                f"{env_block!r}")
+        return block
+    return n if n <= 512 else min(256, max(32, n // 2))
+
+
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
                  random_seed=0, max_treedepth=10, verbose=False,
                  mixed=None, sampler=None, steps_per_call=100,
@@ -1218,8 +1233,35 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
             "Use sampler='hmc' (the TPU default), run MCMC on the CPU "
             "backend, or reduce draws+tune.")
     if mixed is None:
-        mixed = is_tpu() and not cfg.iwgp and not cfg.cwgp
-    if mixed and not cfg.iwgp and not cfg.cwgp:
+        mixed = is_tpu()
+    if mixed and (cfg.iwgp or cfg.cwgp):
+        # learnable warpings through the mixed path: closed-form kernel
+        # gradients + elementwise-AD warp terms (bigfit.make_warped_vg),
+        # wrapped as a custom-vjp scalar objective exactly like
+        # make_mixed_objective
+        import jax as _jax
+
+        from ..gp import bigfit
+
+        n = cfg.x.shape[0]
+        block = _resolve_mcmc_block(n)
+        rvpack, _vg = bigfit.make_warped_vg(cfg, block=block)
+
+        @_jax.custom_vjp
+        def _logl(z):
+            return _vg(z)[0]
+
+        def _fwd(z):
+            return _vg(z)
+
+        def _bwd(grad, ct):
+            return (ct * grad,)
+
+        _logl.defvjp(_fwd, _bwd)
+
+        def nlp(z):
+            return -(_logl(z) + rvpack.log_prior(z))
+    elif mixed:
         import numpy as _np
 
         from ..gp import bigfit
@@ -1241,15 +1283,7 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         # ANDVARANAUT_MCMC_BLOCK overrides (e.g. 1024 at n=16k, where
         # the 64-step block=256 pipeline pays its per-step glue 4x and
         # the MAP-fit evidence says 1024 is the value+grad optimum).
-        env_block = _os.environ.get("ANDVARANAUT_MCMC_BLOCK")
-        if env_block:
-            block = int(env_block)
-            if block < 1:
-                raise ValueError(
-                    "ANDVARANAUT_MCMC_BLOCK must be a positive int, got "
-                    f"{env_block!r}")
-        else:
-            block = n if n <= 512 else min(256, max(32, n // 2))
+        block = _resolve_mcmc_block(n)
         rvpack, nlp = bigfit.make_mixed_objective(
             xin, yin, kerns=cfg.kerns, ops=cfg.ops, noise=cfg.noise,
             truncate=cfg.truncate, jitter=cfg.jitter,

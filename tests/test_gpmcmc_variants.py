@@ -144,11 +144,20 @@ def test_fit_precision_mixed(tmp_path, monkeypatch):
     g.change_model("Matern52")
     g.fit(method="map", precision="mixed")
     assert np.isfinite(np.asarray(g.hypers["l"])).all()
-    # learnable warpings stay on the f64 autodiff path and raise clearly
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="learnable warpings"):
-        g.fit(method="map", precision="mixed", iwgp=True)
+    # round 3: learnable warpings run through the mixed path too
+    # (bigfit.make_warped_vg — closed-form kernel grads + elementwise
+    # AD warp terms) and land near the f64 autodiff optimum
+    g.change_model("RBF")
+    g.change_yconrevs([tf.wgp(
+        ["meanstd", "sinharcsinh"], np.array([0.0, 1.0]), y=g.y[:, 0])])
+    g.fit(method="map", cwgp=True)
+    h0 = {k: np.array(v) for k, v in g.hypers.items()}
+    g.fit(method="map", precision="mixed", cwgp=True)
+    assert "cwgp" in g.hypers and "cwgp_pos" in g.hypers
+    np.testing.assert_allclose(
+        np.asarray(g.hypers["cwgp"]), h0["cwgp"], rtol=0.2, atol=0.2)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
 
 
 def test_fit_precision_distributed(tmp_path, monkeypatch):
