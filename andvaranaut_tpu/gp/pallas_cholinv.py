@@ -133,13 +133,99 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+#: run the kernel's sub-block trailing syrk on the MXU via in-kernel
+#: int8 slice extraction (6 slices, int32 accumulation) instead of the
+#: 128-iteration rank-1 pair loop: 0 = off, 1 = on (default pending
+#: on-chip A/B).  The rank-1 loop is SEQUENTIAL-ITERATION-bound (~3 us
+#: per fori iteration on this part), so the 384 syrk iterations of a
+#: 512 block are ~40% of the fused call's wall; the MXU form replaces
+#: them with one extraction + 21 dots.  Accuracy: the equilibrated
+#: operands are O(1), so the slice product's ~2^-42 absolute grade
+#: sits at the pair subtraction's own floor; the factor gate and the
+#: composition-grade regression tests stand guard.
+import os as _os
+
+CHOLINV_MXU = int(_os.environ.get("ANDVARANAUT_CHOLINV_MXU", "0"))
+
+_NSL = 6  # slice count for the in-kernel syrk (int8 Ozaki)
+
+
+def _syrk_mxu(lh_ref, ll_ref, lo, hp, eye_hp):
+    """Trailing syrk W -= P P^T on the MXU: in-kernel int8 slice
+    extraction of the finished (hp, SB) pair panel (per-row pow2
+    scales from exponent bits — hardware-probed bitcasts), nt-form
+    slice-pair dots with exact int32 accumulation, pow2 rescale, pair
+    subtraction."""
+    Ph = lh_ref[lo + _SB :, lo : lo + _SB]  # (hp, SB)
+    Pl = ll_ref[lo + _SB :, lo : lo + _SB]
+    # exact pow2 row scales: floor(log2 max|Ph|) + 2 (margin covers lo).
+    # u32<->i32 VALUE converts trip the Mosaic convert-helper recursion
+    # under x64 — same-width BITCASTS are value-preserving here (the
+    # exponent field is < 2^31) and lower cleanly (hardware-probed).
+    m = jnp.maximum(jnp.max(jnp.abs(Ph), axis=1, keepdims=True),
+                    jnp.float32(1e-30))
+    u = jax.lax.bitcast_convert_type(m, jnp.uint32)
+    e = jax.lax.bitcast_convert_type(
+        (u >> jnp.uint32(23)) & jnp.uint32(0xFF), jnp.int32)
+    e = jnp.clip(e - jnp.int32(125), jnp.int32(-120), jnp.int32(120))
+    eb = jax.lax.bitcast_convert_type(e + jnp.int32(127), jnp.uint32)
+    sa = jax.lax.bitcast_convert_type(
+        eb << jnp.uint32(23), jnp.float32)
+    inv_sa = jnp.float32(1.0) / sa  # (hp, 1), exact pow2 recip
+    Rh = Ph * inv_sa
+    Rl = Pl * inv_sa
+    slices = []
+    for _ in range(_NSL):
+        Rh = Rh * jnp.float32(128.0)
+        Rl = Rl * jnp.float32(128.0)
+        ci = (Rh + Rl).astype(jnp.int32)
+        slices.append(ci.astype(jnp.int8))
+        c = ci.astype(jnp.float32)
+        r = Rh - c
+        s_ = r + Rl
+        comp = jnp.where(jnp.abs(r) >= jnp.abs(Rl), (r - s_) + Rl,
+                         (Rl - s_) + r)
+        Rh, Rl = s_, comp
+    accs = [jnp.zeros((hp, hp), jnp.int32) for _ in range(_NSL)]
+    for i in range(_NSL):
+        for j2 in range(_NSL - i):
+            p = jax.lax.dot_general(
+                slices[i], slices[j2],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            accs[i + j2] = accs[i + j2] + p
+    chi = jnp.zeros((hp, hp), jnp.float32)
+    clo = jnp.zeros((hp, hp), jnp.float32)
+    for s in range(_NSL):
+        g = accs[s]
+        ghi = jax.lax.shift_right_arithmetic(g, jnp.int32(12))
+        glo = g - jax.lax.shift_left(ghi, jnp.int32(12))
+        w = jnp.float32(2.0 ** (-7.0 * (s + 2)))
+        chi, clo = _two_sum(chi, clo,
+                            ghi.astype(jnp.float32) * (w * 4096.0),
+                            jnp.float32(0.0))
+        chi, clo = _two_sum(chi, clo, glo.astype(jnp.float32) * w,
+                            jnp.float32(0.0))
+    # row then column pow2 scales (column vector transposed by the
+    # diag trick — no lane reshape)
+    sb = jnp.sum(sa * eye_hp, axis=0, keepdims=True)  # (1, hp)
+    chi = (chi * sa) * sb
+    clo = (clo * sa) * sb
+    Wh = lh_ref[lo + _SB :, lo + _SB :]
+    Wl = ll_ref[lo + _SB :, lo + _SB :]
+    nh, nl = _two_sum(Wh, Wl, -chi, -clo)
+    lh_ref[lo + _SB :, lo + _SB :] = nh
+    ll_ref[lo + _SB :, lo + _SB :] = nl
+
+
 def _mask(cond):
     """0/1 f32 mask without astype (Mosaic convert-helper recursion)."""
     return jnp.where(cond, jnp.float32(1.0), jnp.float32(0.0))
 
 
-def _kernel(b, ah_ref, al_ref, lh_ref, ll_ref, xh_ref, xl_ref):
-    """Factor + invert one (b, b) SPD block.  All refs VMEM f32."""
+def _kernel(b, mxu, ah_ref, al_ref, lh_ref, ll_ref, xh_ref, xl_ref):
+    """Factor + invert one (b, b) SPD block.  All refs VMEM f32.
+    mxu (static): sub-block trailing syrks on the MXU (see _syrk_mxu)."""
     nsb = b // _SB
     f0 = jnp.float32(0.0)
     eye_sb = _mask(_iota((_SB, _SB), 0) == _iota((_SB, _SB), 1))
@@ -189,9 +275,14 @@ def _kernel(b, ah_ref, al_ref, lh_ref, ll_ref, xh_ref, xl_ref):
 
         if j + 1 < nsb:
             # trailing syrk: W[lo+SB:, lo+SB:] -= P P^T, P the finished
-            # panel W[lo+SB:, lo:lo+SB]; k=128 rank-1 loop
+            # panel W[lo+SB:, lo:lo+SB]; MXU slice products or a k=128
+            # rank-1 loop (CHOLINV_MXU)
             hp = h - _SB
             eye_hp = _mask(_iota((hp, hp), 0) == _iota((hp, hp), 1))
+
+            if mxu:
+                _syrk_mxu(lh_ref, ll_ref, lo, hp, eye_hp)
+                continue
 
             def syrk_step(k, _, lo=lo, hp=hp, eye_hp=eye_hp):
                 P2h = lh_ref[lo + _SB:, lo:lo + _SB]  # (hp, SB)
@@ -284,7 +375,7 @@ def chol_inv_block_pair(Ajj):
     # int32 zeros here the composed maps are all-i32 and legalise.
     _z2 = lambda i: (np.int32(0), np.int32(0))
     lh, ll, xh, xl = pl.pallas_call(
-        partial(_kernel, b),
+        partial(_kernel, b, CHOLINV_MXU != 0),
         grid=(1,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, b), jnp.float32) for _ in range(4)),

@@ -713,3 +713,37 @@ def test_bigfit_grad_parity_fused_panel(rng, monkeypatch):
     np.testing.assert_allclose(float(v2), float(v0), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_cholinv_mxu_syrk_parity(rng, monkeypatch):
+    """CHOLINV_MXU=1 (the fused diag kernel's sub-block trailing syrk
+    on the MXU via in-kernel int8 slice extraction) must match the
+    rank-1 pair-loop kernel to the slice-product grade, and the
+    factorisation built on it must keep its reconstruction grade."""
+    from andvaranaut_tpu.gp import pallas_cholinv as pc
+
+    n = 512
+    K = _spd(n, rng, cond=1e6)
+    Kj = jnp.asarray(K)
+    monkeypatch.setattr(pc, "CHOLINV_MXU", 1)
+    pc.chol_inv_block_pair.clear_cache()
+    L1, X1, ok1 = pc.chol_inv_block_pair(Kj)
+    monkeypatch.setattr(pc, "CHOLINV_MXU", 0)
+    pc.chol_inv_block_pair.clear_cache()
+    L0, X0, ok0 = pc.chol_inv_block_pair(Kj)
+    pc.chol_inv_block_pair.clear_cache()
+    assert bool(ok1) and bool(ok0)
+    # the MXU syrk's ~2^-42 slice grade sits above the pair loop's
+    # ~2^-48 but well below the OUTER factorisation's own 4e-11
+    # trailing-product grade: the criteria that matter are the block
+    # reconstruction (backward error) and the inverse consistency
+    # (the hard-won substitution-grade constraint), both measured
+    # ~1e-12 / ~2e-14 at cond 1e6
+    rec = np.abs(np.tril(np.asarray(L1)) @ np.tril(np.asarray(L1)).T
+                 - K).max()
+    assert rec < 1e-10 * np.abs(K).max(), rec
+    res = np.abs(np.eye(n) - np.tril(np.asarray(L1))
+                 @ np.asarray(X1)).max()
+    assert res < 1e-12, res
+    dL = np.abs(np.asarray(L1) - np.asarray(L0)).max()
+    assert dL < 1e-7 * np.abs(np.asarray(L0)).max(), dL
