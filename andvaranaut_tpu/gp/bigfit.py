@@ -52,13 +52,14 @@ def _grad_inv_iters() -> int:
     identity solve inside the GRADIENT pipeline (default 2).
 
     Each sweep is two extra (block, n) slice matmuls per factorisation
-    step PLUS their operand re-extraction — ~40% of the L^-1 stage's
-    work.  The solve's grade only feeds K^-1's trace term in the
-    gradient (the LOGPOST value path never touches it), and the
-    0-sweep composed-substitution grade (~1e-9, the seed-inverse
-    measurement in precision._chol_inv_seeded) is far below what
-    L-BFGS needs from a gradient; knob for on-chip A/B with parity
-    pinned by tests at both settings."""
+    step (~1.1e12 MACs over the 16k solve — a third of the whole
+    pipeline's MXU work).  Measured on-chip (2026-08-20, 16k MAP A/B):
+    0 sweeps cut the per value+grad 1.76 -> 1.34 s (-24%) but the
+    looser K^-1 trace term stalls L-BFGS-B ~13 nats short of the
+    optimum (logpost 51898.8 vs 51911.75) — the ftol test reads the
+    gradient noise as convergence.  Default stays 2 (optimum quality
+    is the product); set 0/1 for throughput-bound sweeps where a
+    ~1e-2-relative logpost gap is acceptable."""
     import os
 
     v = int(os.environ.get("ANDVARANAUT_GRAD_INV_ITERS", "2"))

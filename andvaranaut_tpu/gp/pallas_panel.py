@@ -80,17 +80,17 @@ def use_fused_panel() -> bool:
 def _fused_grad() -> int:
     """ANDVARANAUT_FUSED_GRAD: the GRADIENT pipeline's pair-native
     K^-1 route (pair L^-1 -> column-scale slice kernel -> pre-sliced
-    tn syrk, bigfit._nlml_vg) — 0 = off (DEFAULT until the on-chip
-    A/B lands), 1 = auto (TPU only), 2 = force (interpret mode).
-    Separate knob from the panel fusion: this route reuses the
-    production syrk kernel unchanged and only replaces the f64
-    assembly + in-wrapper extraction — a small wall win at best (XLA
-    fuses those chains), but it also drops the f64 L^-1 plane and its
-    extraction temporaries from the program's HBM peak (~2-4 GB on a
-    chip the 16k gradient program already OOMed once)."""
+    tn syrk, bigfit._nlml_vg) — 0 = off, 1 = auto (TPU only, DEFAULT),
+    2 = force (interpret mode).  Measured on-chip (2026-08-20, 16k MAP
+    A/B): per value+grad 1.76 s vs 1.80 s baseline at the SAME optimum
+    (logpost 51911.75) — a small wall win, plus it drops the f64 L^-1
+    plane and its extraction temporaries from the program's HBM peak
+    (~2-4 GB on a chip the 16k gradient program already OOMed once).
+    Unlike the panel fusion (regressed, off), this route reuses the
+    production syrk kernel unchanged."""
     import os
 
-    return int(os.environ.get("ANDVARANAUT_FUSED_GRAD", "0"))
+    return int(os.environ.get("ANDVARANAUT_FUSED_GRAD", "1"))
 
 
 def use_fused_grad() -> bool:
