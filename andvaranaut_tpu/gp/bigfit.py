@@ -49,20 +49,22 @@ def _default_rvpack(nx, kerns, noise, truncate=False):
 
 def _grad_inv_iters() -> int:
     """ANDVARANAUT_GRAD_INV_ITERS: refinement sweeps of the L^-1
-    identity solve inside the GRADIENT pipeline (default 2).
+    identity solve inside the GRADIENT pipeline (default 1).
 
     Each sweep is two extra (block, n) slice matmuls per factorisation
-    step (~1.1e12 MACs over the 16k solve — a third of the whole
-    pipeline's MXU work).  Measured on-chip (2026-08-20, 16k MAP A/B):
-    0 sweeps cut the per value+grad 1.76 -> 1.34 s (-24%) but the
-    looser K^-1 trace term stalls L-BFGS-B ~13 nats short of the
-    optimum (logpost 51898.8 vs 51911.75) — the ftol test reads the
-    gradient noise as convergence.  Default stays 2 (optimum quality
-    is the product); set 0/1 for throughput-bound sweeps where a
-    ~1e-2-relative logpost gap is acceptable."""
+    step (~5e11 MACs over the 16k solve).  Measured on-chip
+    (2026-08-20, 16k MAP A/B at the fused-grad config):
+    - 2 sweeps: 1.76 s per value+grad, logpost 51911.75
+    - 1 sweep:  1.55 s (-12%), logpost 51911.76, SAME hypers — the
+      single sweep already restores the composed inverse past what
+      the ftol test can see; now the default.
+    - 0 sweeps: 1.34 s but logpost stalls at 51898.8 — the slice-grade
+      errors compound across the 16 block-row steps into a ~1e-9
+      composed inverse and L-BFGS-B reads the gradient noise as
+      convergence ~13 nats early.  Throughput-only setting."""
     import os
 
-    v = int(os.environ.get("ANDVARANAUT_GRAD_INV_ITERS", "2"))
+    v = int(os.environ.get("ANDVARANAUT_GRAD_INV_ITERS", "1"))
     if v < 0:
         raise ValueError(
             "ANDVARANAUT_GRAD_INV_ITERS must be >= 0, got %d" % v)
