@@ -135,17 +135,20 @@ def _iota(shape, dim):
 
 #: run the kernel's sub-block trailing syrk on the MXU via in-kernel
 #: int8 slice extraction (6 slices, int32 accumulation) instead of the
-#: 128-iteration rank-1 pair loop: 0 = off, 1 = on (default pending
-#: on-chip A/B).  The rank-1 loop is SEQUENTIAL-ITERATION-bound (~3 us
-#: per fori iteration on this part), so the 384 syrk iterations of a
-#: 512 block are ~40% of the fused call's wall; the MXU form replaces
-#: them with one extraction + 21 dots.  Accuracy: the equilibrated
-#: operands are O(1), so the slice product's ~2^-42 absolute grade
-#: sits at the pair subtraction's own floor; the factor gate and the
+#: 128-iteration rank-1 pair loop: 1 = on (DEFAULT — measured
+#: 2026-08-20: headline 16k NLML 469.7 -> 457.4 ms at parity 3.25e-7
+#: vs 3.22e-7), 0 = the rank-1 pair loop.  The rank-1 loop is
+#: SEQUENTIAL-ITERATION-bound, so the 384 syrk iterations of a 512
+#: block were a large share of the fused call's wall; the MXU form
+#: replaces them with one in-kernel extraction + 21 dots.  Accuracy:
+#: the equilibrated operands are O(1), so the slice product's ~2^-42
+#: absolute grade gives ~1e-12 block reconstruction error (below the
+#: OUTER factorisation's 4e-11 product grade) and the inverse stays
+#: substitution-consistent (~2e-14); the factor gate and the
 #: composition-grade regression tests stand guard.
 import os as _os
 
-CHOLINV_MXU = int(_os.environ.get("ANDVARANAUT_CHOLINV_MXU", "0"))
+CHOLINV_MXU = int(_os.environ.get("ANDVARANAUT_CHOLINV_MXU", "1"))
 
 _NSL = 6  # slice count for the in-kernel syrk (int8 Ozaki)
 

@@ -351,14 +351,21 @@ def test_fused_recursion_composition_grade(rng, monkeypatch):
     grade: on a bench-typical noise-floor 1024 Gram block the composed
     inverse residual must stay substitution-grade."""
     from andvaranaut_tpu.gp import kernels
+    from andvaranaut_tpu.gp import pallas_cholinv as pc
 
     monkeypatch.setattr(precision, "FUSED_CHOL", 2)
+    # pin the COMPOSE_NSLICES regression against the pair-loop syrk (the
+    # mode this grade ladder was measured for); the MXU-syrk mode has
+    # its own looser-grade assertions in test_cholinv_mxu_syrk_parity
+    monkeypatch.setattr(pc, "CHOLINV_MXU", 0)
+    pc.chol_inv_block_pair.clear_cache()
     n = 1024
     X = jnp.asarray(rng.uniform(size=(n, 2)))
     K = kernels.gram(("RBF",), (), X, None,
                      jnp.asarray([0.5, 0.7]), jnp.asarray([1.0]), None)
     K = K + (1e-4 + 1e-6) * jnp.eye(n)
     L, Xi = precision._chol_inv_fused(K, 21)
+    pc.chol_inv_block_pair.clear_cache()
     L, Xi = np.asarray(L), np.asarray(Xi)
     Lref = np.linalg.cholesky(np.asarray(K))
     assert np.abs(np.tril(L) - Lref).max() < 1e-9
