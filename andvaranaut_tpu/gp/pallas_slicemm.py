@@ -98,6 +98,19 @@ def _syrk_nt() -> bool:
     return os.environ.get("ANDVARANAUT_SYRK_NT", "1") == "1"
 
 
+def _dimsem(*sems):
+    """Optional Mosaic dimension_semantics for the slice kernels
+    (ANDVARANAUT_DIMSEM=1): output-tile grid dims marked "parallel"
+    (each cell owns a distinct window — Mosaic may reorder/overlap
+    their DMA), the k-accumulation dim "arbitrary" (sequential scratch
+    reuse).  Off by default pending the on-chip A/B."""
+    import os
+
+    if os.environ.get("ANDVARANAUT_DIMSEM", "0") != "1":
+        return None
+    return pltpu.CompilerParams(dimension_semantics=tuple(sems))
+
+
 def _tk() -> int:
     """k-chunk depth of the slice kernels (ANDVARANAUT_TK, default 256).
 
@@ -526,6 +539,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     nhi, nlo = pl.pallas_call(
         partial(_syrk_sub_kernel, nslices, nk, per_pair, nt),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((m, m), jnp.float32),
             jax.ShapeDtypeStruct((m, m), jnp.float32),
@@ -676,6 +690,7 @@ def _pallas_int_slice_syrk_sub_pair_presliced(Ahi, Alo, p_sl, sa,
     nhi, nlo = pl.pallas_call(
         partial(_syrk_sub_kernel, nslices, nk, per_pair, True),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((m, m), jnp.float32),
             jax.ShapeDtypeStruct((m, m), jnp.float32),
@@ -793,6 +808,7 @@ def _pallas_int_slice_mm_sub_pair(Rhi, Rlo, A, B, nslices: int,
     nhi, nlo = pl.pallas_call(
         partial(_mm_sub_kernel, nslices, nk, tm, per_pair),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((m, n), jnp.float32),
             jax.ShapeDtypeStruct((m, n), jnp.float32),
@@ -904,6 +920,7 @@ def _pallas_int_slice_syrk_lower(A, nslices: int, row_start=None,
         partial(_syrk_kernel, nslices, nk, per_pair, tk, a_upper, False,
                 nt),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
@@ -988,6 +1005,7 @@ def _pallas_int_slice_syrk_tn_lower(W, nslices: int, dot_bf16=False,
         partial(_syrk_kernel, nslices, nk, per_pair, tk, w_lower, True,
                 False),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
             jax.ShapeDtypeStruct((mp, mp), jnp.float32),
@@ -1050,6 +1068,7 @@ def _pallas_int_slice_syrk_tn_lower_presliced(w_sl, sW, nslices: int,
         partial(_syrk_kernel, nslices, nk, per_pair, tk, w_lower, True,
                 False),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((m, m), jnp.float32),
             jax.ShapeDtypeStruct((m, m), jnp.float32),
@@ -1166,6 +1185,7 @@ def _pallas_int_slice_matmul(A, B, nslices: int,
     hi, lo = pl.pallas_call(
         partial(_kernel, nslices, nk, lower_only, tm, per_pair),
         grid_spec=grid_spec,
+        compiler_params=_dimsem("parallel", "parallel", "arbitrary"),
         out_shape=(
             jax.ShapeDtypeStruct((mp, np_), jnp.float32),
             jax.ShapeDtypeStruct((mp, np_), jnp.float32),
