@@ -100,13 +100,14 @@ def _syrk_nt() -> bool:
 
 def _dimsem(*sems):
     """Optional Mosaic dimension_semantics for the slice kernels
-    (ANDVARANAUT_DIMSEM=1): output-tile grid dims marked "parallel"
-    (each cell owns a distinct window — Mosaic may reorder/overlap
-    their DMA), the k-accumulation dim "arbitrary" (sequential scratch
-    reuse).  Off by default pending the on-chip A/B."""
+    (ANDVARANAUT_DIMSEM, default ON): output-tile grid dims marked
+    "parallel" (each cell owns a distinct window — Mosaic may
+    reorder/overlap their DMA), the k-accumulation dim "arbitrary"
+    (sequential scratch reuse).  Measured 2026-08-20: headline 457.4
+    -> 453.7 ms at identical parity, compile 330 -> 288 s."""
     import os
 
-    if os.environ.get("ANDVARANAUT_DIMSEM", "0") != "1":
+    if os.environ.get("ANDVARANAUT_DIMSEM", "1") != "1":
         return None
     return pltpu.CompilerParams(dimension_semantics=tuple(sems))
 
