@@ -113,29 +113,30 @@ def _dimsem(*sems):
 
 
 def _tk() -> int:
-    """k-chunk depth of the slice kernels (ANDVARANAUT_TK, default 256).
+    """k-chunk depth of the slice kernels (ANDVARANAUT_TK, default
+    1024 since round 3).
 
     The grid iterates k in _TK-deep chunks, so an output tile is
-    kp/_TK grid cells.  The ladder attribution (docs/TPU_NOTES.md)
-    measured ~5.3 us per cell against 1.79 us of ideal MXU work; part
-    of the gap is per-cell overhead (scratch init, combine pass on the
-    last chunk, grid sequencing), which a deeper chunk amortises.
-    Measured A/B on the 16384x1024 syrk (bit-identical C): tk=256
-    60.7 ms / 512 58.9 / 1024 55.6.  But the END-TO-END headline bench
-    REGRESSES at 1024: 675.8 ms (and an independent 634.1 ms run at
-    REFINE=1) vs 519.98 ms at 256 — the standalone 8% does not survive
-    inside the factorisation, where the syrk k equals the panel width
-    and the in-place pair-carry kernel's 4x-deeper input windows
-    evidently cost more in VMEM pressure/pipelining than the per-cell
-    overhead they amortise (the micro-benchmark-trap moral again:
-    docs/TPU_NOTES.md).  Default stays 256; the knob remains for
-    re-testing.  int32 dot accumulation stays exact to k = 2^19
-    (k * 127^2 < 2^31) and the bf16 path to k = 2^24/127^2 ~ 1040;
-    _tk_for clamps to the operand's padded k so small-k calls never
-    pad."""
+    kp/_TK grid cells; at the factorisation's block-width operands a
+    1024 chunk makes nk=1 — one cell per output tile, no k grid, one
+    scratch init + combine.  HISTORY (the micro-benchmark-trap case
+    study, docs/TPU_NOTES.md): standalone syrk A/Bs always preferred
+    deeper chunks (60.7/58.9/55.6 ms at 256/512/1024 on the 16k x 1024
+    syrk, bit-identical), but in round 2 the END-TO-END bench REGRESSED
+    at 1024 (675.8 vs 519.98 ms at 256) — the old kernel structure's
+    4x-deeper in-place pair-carry windows cost more in VMEM
+    pressure/pipelining than they amortised.  Re-measured 2026-08-20
+    AFTER the nt-dot (no transposed-copy operands), MXU-cholinv and
+    dimension_semantics changes: 256 -> 453.7, 512 -> 433.9,
+    1024 -> 421.9 ms at identical 3.25e-7 parity, and the 16k MAP fit
+    at tk=1024 reaches the identical optimum at 1.45 s per value+grad
+    (was 1.55 at 256).  int32 dot accumulation stays exact to
+    k = 2^19 (k * 127^2 < 2^31); the bf16 dot path needs tk <= 1024
+    (2^24/127^2 ~ 1040) — still exact at this default.  _tk_for clamps
+    to the operand's padded k so small-k calls never pad."""
     import os
 
-    return int(os.environ.get("ANDVARANAUT_TK", "256"))
+    return int(os.environ.get("ANDVARANAUT_TK", "1024"))
 
 
 def _tk_for(k: int) -> int:
