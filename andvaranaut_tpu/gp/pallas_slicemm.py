@@ -132,8 +132,11 @@ def _tk() -> int:
     at tk=1024 reaches the identical optimum at 1.45 s per value+grad
     (was 1.55 at 256).  int32 dot accumulation stays exact to
     k = 2^19 (k * 127^2 < 2^31); the bf16 dot path needs tk <= 1024
-    (2^24/127^2 ~ 1040) — still exact at this default.  _tk_for clamps
-    to the operand's padded k so small-k calls never pad."""
+    for exactness (2^24/127^2 ~ 1040) but its 2x-wider operand windows
+    exceed the part's 16.00 MB scoped VMEM at tk=1024 (compile error,
+    measured: 16.27 MB requested) — set ANDVARANAUT_TK=512 when
+    A/B-ing ANDVARANAUT_MXU_DOT=bf16.  _tk_for clamps to the operand's
+    padded k so small-k calls never pad."""
     import os
 
     return int(os.environ.get("ANDVARANAUT_TK", "1024"))
