@@ -5,9 +5,12 @@ Workload (BASELINE.json north star): N=16384 training points, 2-D inputs,
 RBF kernel + noise — the O(N^3) Cholesky-dominated NLML at the heart of
 MAP fitting and NUTS.
 
-Ours: the mixed-precision blocked factorisation (bf16-slice MXU matmuls,
-f64 diagonal panels, Newton triangular inverses, f64-refined solves) on
-the TPU, end to end from raw inputs (Gram construction included).
+Ours: the mixed-precision blocked factorisation (int8-Ozaki slice
+matmuls with exact int32 MXU accumulation, fused pair-arithmetic
+diagonal Cholesky+inverse with MXU trailing syrks, the trailing matrix
+carried as an f32 pair with the syrk update fused in place, and
+f64-refined solves) on the TPU, end to end from raw inputs (Gram
+construction included).
 
 Baseline: the same f64 computation in numpy/OpenBLAS on the host CPU,
 measured directly at the same N — the reference stack's PyTensor-compiled
