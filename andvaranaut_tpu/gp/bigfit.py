@@ -314,16 +314,18 @@ def make_warped_vg(cfg, block: int = 1024):
         nblocks = npad_cols // gb
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
         _TG = 256
+        # padded slicing copies hoisted OUT of the scan body exactly as
+        # _nlml_vg does: inside the body XLA can materialise the pad as
+        # a fresh (npad, npad) buffer per step (multi-GB at 16k-scale);
+        # zero-width pads are skipped entirely at divisible n
+        if npad_cols != n:
+            ap = jnp.pad(a_c, (0, npad_cols - n))
+            Cp = jnp.pad(C_c, ((0, npad_cols - n), (0, npad_cols - n)))
+        else:
+            ap, Cp = a_c, C_c
 
         def block_term(carry, s):
-            aB = jax.lax.dynamic_slice(
-                jnp.pad(a_c, (0, npad_cols - n)) if npad_cols != n
-                else a_c, (s,), (gb,))
-            if npad_cols != n:
-                Cp = jnp.pad(
-                    C_c, ((0, npad_cols - n), (0, npad_cols - n)))
-            else:
-                Cp = C_c
+            aB = jax.lax.dynamic_slice(ap, (s,), (gb,))
             CB = jax.lax.dynamic_slice(Cp, (0, s), (n, gb))
             CRB = jax.lax.dynamic_slice(Cp, (s, 0), (gb, n)).T
             col_tile = (s + jnp.arange(gb))[None, :] // _TG

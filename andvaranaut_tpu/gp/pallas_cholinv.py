@@ -133,22 +133,27 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-#: run the kernel's sub-block trailing syrk on the MXU via in-kernel
-#: int8 slice extraction (6 slices, int32 accumulation) instead of the
-#: 128-iteration rank-1 pair loop: 1 = on (DEFAULT — measured
-#: 2026-08-20: headline 16k NLML 469.7 -> 457.4 ms at parity 3.25e-7
-#: vs 3.22e-7), 0 = the rank-1 pair loop.  The rank-1 loop is
-#: SEQUENTIAL-ITERATION-bound, so the 384 syrk iterations of a 512
-#: block were a large share of the fused call's wall; the MXU form
-#: replaces them with one in-kernel extraction + 21 dots.  Accuracy:
-#: the equilibrated operands are O(1), so the slice product's ~2^-42
-#: absolute grade gives ~1e-12 block reconstruction error (below the
-#: OUTER factorisation's 4e-11 product grade) and the inverse stays
-#: substitution-consistent (~2e-14); the factor gate and the
-#: composition-grade regression tests stand guard.
-import os as _os
+def _cholinv_mxu() -> bool:
+    """ANDVARANAUT_CHOLINV_MXU, read per call like every other knob in
+    the kernel stack (_syrk_nt/_dimsem pattern — an import-time read
+    would silently ignore env changes after the module loads): run the
+    kernel's sub-block trailing syrk on the MXU via in-kernel int8
+    slice extraction (6 slices, int32 accumulation) instead of the
+    128-iteration rank-1 pair loop.  1 = on (DEFAULT — measured
+    2026-08-20: headline 16k NLML 469.7 -> 457.4 ms at parity 3.25e-7
+    vs 3.22e-7), 0 = the rank-1 pair loop.  The rank-1 loop is
+    SEQUENTIAL-ITERATION-bound, so the 384 syrk iterations of a 512
+    block were a large share of the fused call's wall; the MXU form
+    replaces them with one in-kernel extraction + 21 dots.  Accuracy:
+    the equilibrated operands are O(1), so the slice product's ~2^-42
+    absolute grade gives ~1e-12 block reconstruction error (below the
+    OUTER factorisation's 4e-11 product grade) and the inverse stays
+    substitution-consistent (~2e-14); the factor gate and the
+    composition-grade regression tests stand guard."""
+    import os
 
-CHOLINV_MXU = int(_os.environ.get("ANDVARANAUT_CHOLINV_MXU", "1"))
+    return int(os.environ.get("ANDVARANAUT_CHOLINV_MXU", "1")) != 0
+
 
 _NSL = 6  # slice count for the in-kernel syrk (int8 Ozaki)
 
@@ -354,13 +359,18 @@ def _kernel(b, mxu, ah_ref, al_ref, lh_ref, ll_ref, xh_ref, xl_ref):
                           jnp.int32(0))
 
 
-@jax.jit
 def chol_inv_block_pair(Ajj):
     """(L, X=L^-1, ok) of an SPD diagonal block via the fused pair
     kernel.  Equilibrates with exact pow2 scales, splits to an f32 pair,
     runs ONE Mosaic call, recombines in f64.  `ok` is False when the
     block was too ill-conditioned for the f32-pair pivots (caller falls
-    back under lax.cond)."""
+    back under lax.cond).  The MXU-syrk knob resolves OUTSIDE the jit
+    so it is part of the compile-cache key."""
+    return _chol_inv_block_pair(Ajj, mxu=_cholinv_mxu())
+
+
+@partial(jax.jit, static_argnames=("mxu",))
+def _chol_inv_block_pair(Ajj, mxu: bool):
     from . import precision
 
     b = Ajj.shape[0]
@@ -378,7 +388,7 @@ def chol_inv_block_pair(Ajj):
     # int32 zeros here the composed maps are all-i32 and legalise.
     _z2 = lambda i: (np.int32(0), np.int32(0))
     lh, ll, xh, xl = pl.pallas_call(
-        partial(_kernel, b, CHOLINV_MXU != 0),
+        partial(_kernel, b, mxu),
         grid=(1,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, b), jnp.float32) for _ in range(4)),
@@ -395,3 +405,7 @@ def chol_inv_block_pair(Ajj):
     L = L * d[:, None]
     X = X * (1.0 / d)[None, :]
     return L, X, ok
+
+
+# tests clear the underlying jit cache through the public name
+chol_inv_block_pair.clear_cache = _chol_inv_block_pair.clear_cache

@@ -149,6 +149,38 @@ def _tk_for(k: int) -> int:
     return min(_tk(), max(-(-int(k) // 256) * 256, 256))
 
 
+def _syrk_tile(m: int) -> int:
+    """Output tile size of the fused trailing-update syrk
+    (ANDVARANAUT_SYRK_TILE, default 256).  Larger tiles mean FEWER grid
+    cells (pairs scale ~1/t^2) and so less per-cell overhead (scratch
+    scheduling, window DMA setup, inter-cell pipeline bubbles) at the
+    cost of more VMEM per cell; 512 needs ~13-15 MB at tk<=512 against
+    the part's 16.00 MB scoped budget.  Clamped to 256 when the carry
+    is not tile-aligned (dynamic row_start needs no alignment: wholly-
+    dead columns are still wholly dead at any tile size, and straddling
+    tiles subtract exact zeros on the masked panel rows)."""
+    import os
+
+    t = int(os.environ.get("ANDVARANAUT_SYRK_TILE", "256"))
+    if t < 256 or t % 256 or int(m) % t:
+        return 256
+    return t
+
+
+def _tk_divisor_for(k: int) -> int:
+    """_tk_for for the PRESLICED kernels, which consume pre-extracted
+    int8 slice arrays and therefore cannot pad along k inside the
+    wrapper: the largest multiple of 256 that is <= _tk_for(k) AND
+    divides k.  Callers guarantee 256 | k (operands are padded to the
+    256 tile grain before slicing), so the loop always terminates at a
+    valid chunk; e.g. k=1280 -> 256, k=1536 -> 768, k=2048 -> 1024."""
+    k = int(k)
+    t = _tk_for(k)
+    while t > 256 and k % t:
+        t -= 256
+    return t
+
+
 def _acc_per_pair() -> bool:
     """Accumulator structure knob (ANDVARANAUT_SYRK_ACC=order|pair).
 
@@ -357,7 +389,7 @@ def _syrk_kernel(nslices, nk, per_pair, tk, tri_skip, tn, nt, *refs):
         lo_ref[:] = lo
 
 
-def _syrk_sub_kernel(nslices, nk, per_pair, nt, *refs):
+def _syrk_sub_kernel(nslices, nk, per_pair, nt, tile, *refs):
     """Triangular-grid fused trailing update: A_tile -= panel @ panel.T.
 
     Same slice-pair reduction and dynamic triangular grid as
@@ -392,7 +424,7 @@ def _syrk_sub_kernel(nslices, nk, per_pair, nt, *refs):
     # the dynamic grid stops before dead tile columns; this predicate
     # only covers the clamped t=0 cell of an all-dead call, which must
     # write the carry through unchanged (outputs alias the carry).
-    active = (tj + jnp.int32(1)) * jnp.int32(_TN) > rs_ref[0]
+    active = (tj + jnp.int32(1)) * jnp.int32(tile) > rs_ref[0]
 
     @pl.when(active)
     def _():
@@ -441,14 +473,16 @@ def pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int | None = None,
         nslices=precision.INT_NSLICES if nslices is None else nslices,
         row_start=row_start, dot_bf16=_dot_bf16(),
         per_pair=_acc_per_pair(), tk=_tk_for(panel.shape[1]),
-        nt=_syrk_nt())
+        nt=_syrk_nt(), tile=_syrk_tile(Ahi.shape[0]))
 
 
 @partial(jax.jit,
-         static_argnames=("nslices", "dot_bf16", "per_pair", "tk", "nt"))
+         static_argnames=("nslices", "dot_bf16", "per_pair", "tk", "nt",
+                          "tile"))
 def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
                                     row_start=None, dot_bf16=False,
-                                    per_pair=False, tk=_TK, nt=False):
+                                    per_pair=False, tk=_TK, nt=False,
+                                    tile=_TM):
     """(Ahi, Alo) -= panel @ panel.T on live lower-triangle tiles, fused.
 
     The trailing matrix is carried as an (hi, lo) f32 pair (~2^-48
@@ -469,7 +503,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     with m a multiple of the 256 tile; panel k is padded as needed."""
     m, k = panel.shape
     assert Ahi.shape == (m, m) and Alo.shape == (m, m)
-    assert m % _TM == 0, "pair carry requires tile-aligned m"
+    assert m % tile == 0, "pair carry requires tile-aligned m"
     sA = precision._pow2_row_scales(panel, axis=1)
     a_sl = precision._int_slices(panel / sA, nslices)
     b_sl = None if nt else [a.T for a in a_sl]
@@ -487,7 +521,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     else:
         b_sl = _slice_operands(b_sl, dot_bf16)
     nk = kp // tk
-    T = m // _TM
+    T = m // tile
     pairs = [(i, j) for j in range(T - 1, -1, -1)
              for i in range(T - 1, j - 1, -1)]
     i_arr = jnp.asarray(np.array([p[0] for p in pairs], dtype=np.int32))
@@ -498,7 +532,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
         tgrid = len(pairs)
     else:
         kliv = jnp.maximum(
-            jnp.int32(T) - jnp.asarray(row_start, jnp.int32) // _TM, 0)
+            jnp.int32(T) - jnp.asarray(row_start, jnp.int32) // tile, 0)
         tgrid = jnp.maximum((kliv * (kliv + 1)) // 2, 1)
 
     sa32 = jnp.broadcast_to(sA.astype(jnp.float32), (m, 128))
@@ -506,26 +540,26 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
         sA.reshape(1, -1).astype(jnp.float32), (8, m))
 
     a_spec = pl.BlockSpec(
-        (_TM, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
+        (tile, tk), lambda t, kk, i_a, j_a, r: (i_a[t], kk),
         memory_space=pltpu.VMEM)
     if nt:
         b_spec = pl.BlockSpec(
-            (_TN, tk), lambda t, kk, i_a, j_a, r: (j_a[t], kk),
+            (tile, tk), lambda t, kk, i_a, j_a, r: (j_a[t], kk),
             memory_space=pltpu.VMEM)
     else:
         b_spec = pl.BlockSpec(
-            (tk, _TN), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
+            (tk, tile), lambda t, kk, i_a, j_a, r: (kk, j_a[t]),
             memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec(
-        (_TM, _TN), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
+        (tile, tile), lambda t, kk, i_a, j_a, r: (i_a[t], j_a[t]),
         memory_space=pltpu.VMEM)
     # index-map constants MUST be explicit i32: a literal 0 traces as
     # i64 under x64 and Mosaic rejects i64 in index maps (TPU_NOTES)
     sa_spec = pl.BlockSpec(
-        (_TM, 128), lambda t, kk, i_a, j_a, r: (i_a[t], np.int32(0)),
+        (tile, 128), lambda t, kk, i_a, j_a, r: (i_a[t], np.int32(0)),
         memory_space=pltpu.VMEM)
     sb_spec = pl.BlockSpec(
-        (8, _TN), lambda t, kk, i_a, j_a, r: (np.int32(0), j_a[t]),
+        (8, tile), lambda t, kk, i_a, j_a, r: (np.int32(0), j_a[t]),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -534,7 +568,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
         + [o_spec, o_spec, sa_spec, sb_spec],
         out_specs=(o_spec, o_spec),
         scratch_shapes=[
-            pltpu.VMEM((_TM, _TN), jnp.int32)
+            pltpu.VMEM((tile, tile), jnp.int32)
             for _ in range(_n_scratch(nslices, per_pair))
         ],
     )
@@ -542,7 +576,7 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     # then Ahi, Alo (aliased to outputs 0, 1), sa, sb
     base = 3 + 2 * nslices
     nhi, nlo = pl.pallas_call(
-        partial(_syrk_sub_kernel, nslices, nk, per_pair, nt),
+        partial(_syrk_sub_kernel, nslices, nk, per_pair, nt, tile),
         grid_spec=grid_spec,
         compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
@@ -629,10 +663,14 @@ def pallas_int_slice_syrk_sub_pair_presliced(Ahi, Alo, p_sl, sa,
     `pallas_int_slice_syrk_sub_pair` disappear entirely.  Rows of p_sl
     above `row_start` may be UNDEFINED: the dynamic triangular grid
     never reads them (every live pair has ti >= tj >= row_start/TM)."""
+    # honour ANDVARANAUT_MXU_DOT=bf16 here too (exact upcast of the
+    # 7-bit integer slice values — see _pair_dot): the presliced routes
+    # must not silently no-op the knob during A/Bs
+    p_sl = _slice_operands(list(p_sl), _dot_bf16())
     return _pallas_int_slice_syrk_sub_pair_presliced(
         Ahi, Alo, tuple(p_sl), sa, nslices=len(p_sl),
         row_start=row_start, per_pair=_acc_per_pair(),
-        tk=_tk_for(p_sl[0].shape[1]))
+        tk=_tk_divisor_for(p_sl[0].shape[1]))
 
 
 @partial(jax.jit,
@@ -693,7 +731,7 @@ def _pallas_int_slice_syrk_sub_pair_presliced(Ahi, Alo, p_sl, sa,
     )
     base = 3 + 2 * nslices
     nhi, nlo = pl.pallas_call(
-        partial(_syrk_sub_kernel, nslices, nk, per_pair, True),
+        partial(_syrk_sub_kernel, nslices, nk, per_pair, True, _TM),
         grid_spec=grid_spec,
         compiler_params=_dimsem("parallel", "arbitrary"),
         out_shape=(
@@ -1027,10 +1065,12 @@ def pallas_int_slice_syrk_tn_lower_presliced(w_sl, sW, out_dtype,
     native-layout int8 slices + exact pow2 COLUMN scales (from
     pallas_panel.pair_to_slices_cols) — the in-wrapper f64 extraction of
     `pallas_int_slice_syrk_tn_lower` disappears."""
+    # honour ANDVARANAUT_MXU_DOT=bf16 (exact upcast — see _pair_dot)
+    w_sl = _slice_operands(list(w_sl), _dot_bf16())
     return _pallas_int_slice_syrk_tn_lower_presliced(
         tuple(w_sl), sW, nslices=len(w_sl),
         out_dtype=jnp.dtype(out_dtype).name, per_pair=_acc_per_pair(),
-        tk=_tk_for(w_sl[0].shape[0]), w_lower=w_lower)
+        tk=_tk_divisor_for(w_sl[0].shape[0]), w_lower=w_lower)
 
 
 @partial(jax.jit,

@@ -710,11 +710,14 @@ def _chol_steps_pair(Ahi, Alo, nsteps: int, block: int, nslices: int,
     in the Pallas kernel (see PAIR_CARRY).  Finished L columns
     accumulate pair-split in the planes' lower triangle.
 
-    With ANDVARANAUT_FUSED_PANEL (default on for TPU) the whole panel
-    stage runs in-kernel: the column block is sliced from the pair
-    carry directly, the panel product lands in the carry in place, and
-    the trailing syrk consumes pre-extracted slices — removing ~25
-    full-matrix XLA glue passes per step (pallas_panel docstring).  The
+    With ANDVARANAUT_FUSED_PANEL (default OFF — measured 498.4 vs
+    469.7 ms end-to-end on the 16k headline: XLA already fuses the
+    eliminated glue into a few cheap passes; enable via the env knob
+    for A/Bs only) the whole panel stage runs in-kernel: the column
+    block is sliced from the pair carry directly, the panel product
+    lands in the carry in place, and the trailing syrk consumes
+    pre-extracted slices — removing ~25 full-matrix XLA glue passes
+    per step (pallas_panel docstring).  The
     stale strictly-upper values this leaves in the carry's finished
     columns are never consumed: every later read is tril-masked or
     row_start-gated (callers of _chol_steps_pair tril() the planes)."""

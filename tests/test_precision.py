@@ -357,7 +357,7 @@ def test_fused_recursion_composition_grade(rng, monkeypatch):
     # pin the COMPOSE_NSLICES regression against the pair-loop syrk (the
     # mode this grade ladder was measured for); the MXU-syrk mode has
     # its own looser-grade assertions in test_cholinv_mxu_syrk_parity
-    monkeypatch.setattr(pc, "CHOLINV_MXU", 0)
+    monkeypatch.setenv("ANDVARANAUT_CHOLINV_MXU", "0")
     pc.chol_inv_block_pair.clear_cache()
     n = 1024
     X = jnp.asarray(rng.uniform(size=(n, 2)))
@@ -722,6 +722,87 @@ def test_bigfit_grad_parity_fused_panel(rng, monkeypatch):
                                rtol=1e-3, atol=1e-5)
 
 
+def test_bigfit_fused_grad_n_not_tk_multiple(rng, monkeypatch):
+    """n=1280 (a block multiple but NOT a multiple of the default
+    tk=1024) through the FUSED_GRAD presliced tn syrk: the presliced
+    wrappers cannot pad their pre-extracted slices along k, so the
+    k-chunk must clamp to a divisor of n (regression for the
+    trace-time AssertionError at n in {1280, 1536, 2560, ...})."""
+    from andvaranaut_tpu.gp import bigfit, pallas_slicemm
+
+    assert pallas_slicemm._tk_divisor_for(1280) == 256
+    assert pallas_slicemm._tk_divisor_for(1536) == 768
+    assert pallas_slicemm._tk_divisor_for(2048) == 1024
+    assert pallas_slicemm._tk_divisor_for(256) == 256
+
+    n, nx = 1280, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2 + 0.01 * rng.normal(size=n)
+    z = jnp.asarray(np.log([1e-3, 0.8, 1.7, 2.5]))
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_GRAD", "2")
+    bigfit._nlml_vg.clear_cache()
+    v1, g1 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_GRAD", "0")
+    bigfit._nlml_vg.clear_cache()
+    v0, g0 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    bigfit._nlml_vg.clear_cache()
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_syrk_tile_512_parity(rng, monkeypatch):
+    """ANDVARANAUT_SYRK_TILE=512 (fewer, larger fused-syrk grid cells)
+    must reproduce the default-256 factorisation bit-for-bit: the tile
+    size only changes the grid decomposition, not the int32 slice-pair
+    sums.  block=256 makes row_start straddle the 512 tiles (rs=768,
+    1280, ...), exercising the masked-panel zero-subtract contract."""
+    n = 1024
+    K = _spd(n, rng, cond=1e6)
+    Kj = jnp.asarray(K)
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    L0, D0 = precision.blocked_cholesky(Kj, block=256, return_inv=True)
+    monkeypatch.setenv("ANDVARANAUT_SYRK_TILE", "512")
+    L1, D1 = precision.blocked_cholesky(Kj, block=256, return_inv=True)
+    np.testing.assert_array_equal(
+        np.tril(np.asarray(L1)), np.tril(np.asarray(L0)))
+    np.testing.assert_array_equal(np.asarray(D1), np.asarray(D0))
+    # non-tile-aligned carry falls back to 256 (no assert, same result)
+    from andvaranaut_tpu.gp import pallas_slicemm
+    assert pallas_slicemm._syrk_tile(1280) == 256
+    assert pallas_slicemm._syrk_tile(1024) == 512
+    monkeypatch.delenv("ANDVARANAUT_SYRK_TILE")
+    assert pallas_slicemm._syrk_tile(1024) == 256
+
+
+def test_presliced_bf16_dot_parity(rng, monkeypatch):
+    """ANDVARANAUT_MXU_DOT=bf16 must be HONOURED (not silently no-op)
+    on the presliced syrk routes: the 7-bit integer slice values dot
+    exactly on the bf16->f32 path at tk <= 1024, so the fused-grad
+    pipeline must be bit-identical under either dot dtype."""
+    from andvaranaut_tpu.gp import bigfit
+
+    n, nx = 512, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.01 * rng.normal(size=n)
+    z = jnp.asarray(np.log([1e-3, 0.8, 1.7, 2.5]))
+    monkeypatch.setattr(precision, "PAIR_CARRY", 2)
+    monkeypatch.setenv("ANDVARANAUT_FUSED_GRAD", "2")
+    bigfit._nlml_vg.clear_cache()
+    v_int8, g_int8 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    monkeypatch.setenv("ANDVARANAUT_MXU_DOT", "bf16")
+    bigfit._nlml_vg.clear_cache()
+    v_bf16, g_bf16 = bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), z, block=256)
+    bigfit._nlml_vg.clear_cache()
+    assert float(v_bf16) == float(v_int8)
+    np.testing.assert_array_equal(np.asarray(g_bf16), np.asarray(g_int8))
+
+
 def test_cholinv_mxu_syrk_parity(rng, monkeypatch):
     """CHOLINV_MXU=1 (the fused diag kernel's sub-block trailing syrk
     on the MXU via in-kernel int8 slice extraction) must match the
@@ -732,11 +813,9 @@ def test_cholinv_mxu_syrk_parity(rng, monkeypatch):
     n = 512
     K = _spd(n, rng, cond=1e6)
     Kj = jnp.asarray(K)
-    monkeypatch.setattr(pc, "CHOLINV_MXU", 1)
-    pc.chol_inv_block_pair.clear_cache()
+    monkeypatch.setenv("ANDVARANAUT_CHOLINV_MXU", "1")
     L1, X1, ok1 = pc.chol_inv_block_pair(Kj)
-    monkeypatch.setattr(pc, "CHOLINV_MXU", 0)
-    pc.chol_inv_block_pair.clear_cache()
+    monkeypatch.setenv("ANDVARANAUT_CHOLINV_MXU", "0")
     L0, X0, ok0 = pc.chol_inv_block_pair(Kj)
     pc.chol_inv_block_pair.clear_cache()
     assert bool(ok1) and bool(ok0)
