@@ -98,18 +98,27 @@ def _syrk_nt() -> bool:
     return os.environ.get("ANDVARANAUT_SYRK_NT", "1") == "1"
 
 
-def _dimsem(*sems):
+def _dimsem(*sems, vmem_mb: int | None = None):
     """Optional Mosaic dimension_semantics for the slice kernels
     (ANDVARANAUT_DIMSEM, default ON): output-tile grid dims marked
     "parallel" (each cell owns a distinct window — Mosaic may
     reorder/overlap their DMA), the k-accumulation dim "arbitrary"
     (sequential scratch reuse).  Measured 2026-08-20: headline 457.4
-    -> 453.7 ms at identical parity, compile 330 -> 288 s."""
+    -> 453.7 ms at identical parity, compile 330 -> 288 s.
+
+    vmem_mb: raise the kernel's scoped-VMEM budget above Mosaic's
+    16.00 MB default (the v5e core has 128 MB physical VMEM — the
+    default is a pipelining reserve, not the hardware bound).  Needed
+    by the 512-tile syrk variants, whose scratch+carry windows alone
+    are ~14 MB."""
     import os
 
+    kw = {}
+    if vmem_mb is not None:
+        kw["vmem_limit_bytes"] = int(vmem_mb) * 1024 * 1024
     if os.environ.get("ANDVARANAUT_DIMSEM", "1") != "1":
-        return None
-    return pltpu.CompilerParams(dimension_semantics=tuple(sems))
+        return pltpu.CompilerParams(**kw) if kw else None
+    return pltpu.CompilerParams(dimension_semantics=tuple(sems), **kw)
 
 
 def _tk() -> int:
@@ -578,7 +587,9 @@ def _pallas_int_slice_syrk_sub_pair(Ahi, Alo, panel, nslices: int,
     nhi, nlo = pl.pallas_call(
         partial(_syrk_sub_kernel, nslices, nk, per_pair, nt, tile),
         grid_spec=grid_spec,
-        compiler_params=_dimsem("parallel", "arbitrary"),
+        compiler_params=_dimsem(
+            "parallel", "arbitrary",
+            vmem_mb=None if tile <= 256 else 48),
         out_shape=(
             jax.ShapeDtypeStruct((m, m), jnp.float32),
             jax.ShapeDtypeStruct((m, m), jnp.float32),

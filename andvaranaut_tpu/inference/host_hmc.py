@@ -1,0 +1,164 @@
+"""Host-driven jittered HMC: the 16k-scale MCMC workaround.
+
+Every compiled MCMC *transition* program (NUTS nested-while, flat-scan
+jittered HMC, even steps_per_call=1 chunks) crashes the axon TPU worker
+at n=16384 (docs/TPU_NOTES.md round-3 measurements: the fault scales
+with something in the transition program beyond the objective itself).
+The ONE 16k program class demonstrated stable for hours is the
+MAP-shaped single value+grad launch (bigfit's closed-form objective —
+~100 launches per L-BFGS fit, multi-hour MCMC-probe compiles, never a
+fault).
+
+So this sampler keeps the integrator on the HOST: each leapfrog step is
+one independent launch of a jitted value_and_grad — exactly the MAP
+program class — and all chain state (position, momentum, step size,
+mass) lives in NumPy.  Per-launch overhead is ~30 ms (the Mosaic
+executable dispatch tax) against a 1.45 s per-eval objective at 16k:
+~2% — host chunking is nearly free at the scale where it is needed.
+
+Adaptation mirrors the compiled flat sampler's measured choices:
+bounded-ADAM step-size ascent (dual averaging's collapse mode is
+documented in nuts._da_adam_update), Welford diagonal mass applied at
+0.6*warmup, uniformly jittered trajectory lengths within the budget.
+
+Reference anchor: replaces pm.sample's multiprocess NUTS
+(/root/reference/andvaranaut/gpmcmc.py:351) at dataset sizes where the
+reference stack cannot factorise at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["hmc_host_sample"]
+
+
+class _AdamEps:
+    """Bounded ADAM ascent on log(eps) toward the target acceptance —
+    the NumPy twin of nuts._da_adam_update (same constants)."""
+
+    def __init__(self, eps0: float):
+        self.log_eps = float(np.log(eps0))
+        self.m = 0.0
+        self.v = 0.0
+        self.t = 0.0
+
+    def update(self, accept_prob: float, target: float) -> None:
+        b1, b2, lr = 0.9, 0.95, 0.05
+        self.t += 1.0
+        g = accept_prob - target
+        self.m = b1 * self.m + (1.0 - b1) * g
+        self.v = b2 * self.v + (1.0 - b2) * g * g
+        mhat = self.m / (1.0 - b1 ** self.t)
+        vhat = self.v / (1.0 - b2 ** self.t)
+        self.log_eps += lr * mhat / (np.sqrt(vhat) + 1e-8)
+
+    @property
+    def eps(self) -> float:
+        return float(np.exp(self.log_eps))
+
+
+def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
+                    num_chains=1, target_accept=0.8, budget=16,
+                    eps0=0.05, jitter_init=1.0, seed=0,
+                    max_delta_h=1000.0, callback=None):
+    """Jittered-trajectory HMC with a host-side integrator.
+
+    u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
+        Called once per leapfrog as an independent launch; wrap it in
+        jax.jit(jax.value_and_grad(nlp)) for the MAP program class.
+    z0: (dim,) start; chains start at z0 + U(-jitter_init, jitter_init).
+    budget: max leapfrogs per transition; lengths drawn U{1..budget}.
+    callback: optional f(chain, transition, phase) progress hook.
+
+    Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
+    diverging, accept, depth (actual leapfrog count per transition),
+    eps — so MCMCData / sample_rvpack consume it unchanged.
+    """
+    rng = np.random.default_rng(seed)
+    z0 = np.asarray(z0, dtype=np.float64).reshape(-1)
+    dim = z0.shape[0]
+    apply_at = max(1, int(0.6 * num_warmup))
+
+    def eval_ug(z):
+        u, g = u_and_grad(z)
+        return float(u), np.asarray(g, dtype=np.float64)
+
+    zs = np.empty((num_chains, num_samples, dim))
+    lps = np.empty((num_chains, num_samples))
+    divs = np.zeros((num_chains, num_samples), dtype=bool)
+    accs = np.empty((num_chains, num_samples))
+    depths = np.empty((num_chains, num_samples), dtype=np.int64)
+    eps_out = np.empty((num_chains, num_samples))
+
+    for c in range(num_chains):
+        z = z0 + rng.uniform(-jitter_init, jitter_init, size=dim)
+        u, grad = eval_ug(z)
+        adam = _AdamEps(eps0)
+        inv_mass = np.ones(dim)
+        # Welford accumulators over warmup iterates
+        w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
+
+        for t in range(num_warmup + num_samples):
+            warm = t < num_warmup
+            eps = adam.eps
+            nleap = int(rng.integers(1, budget + 1))
+            r = rng.standard_normal(dim) / np.sqrt(inv_mass)
+            h0 = u + 0.5 * float(np.dot(r * inv_mass, r))
+            zn, un, gn, rn = z, u, grad, r
+            diverged = False
+            for _ in range(nleap):
+                rn = rn - 0.5 * eps * gn
+                zn = zn + eps * inv_mass * rn
+                un, gn = eval_ug(zn)
+                rn = rn - 0.5 * eps * gn
+                if not np.isfinite(un):
+                    diverged = True
+                    break
+            if diverged:
+                accept_prob, accepted = 0.0, False
+            else:
+                h1 = un + 0.5 * float(np.dot(rn * inv_mass, rn))
+                dh = h1 - h0
+                diverged = dh > max_delta_h
+                accept_prob = (1.0 if dh <= 0.0
+                               else float(np.exp(-min(dh, 700.0))))
+                accepted = (not diverged) and (
+                    rng.uniform() < accept_prob)
+            if accepted:
+                z, u, grad = zn, un, gn
+
+            if warm:
+                adam.update(accept_prob, target_accept)
+                w_n += 1
+                delta = z - w_mean
+                w_mean += delta / w_n
+                w_m2 += delta * (z - w_mean)
+                if t + 1 == apply_at and w_n > 10:
+                    var = w_m2 / max(w_n - 1, 1)
+                    # regularised like PyMC's adapt_diag
+                    var = (w_n / (w_n + 5.0)) * var + 1e-3 * (
+                        5.0 / (w_n + 5.0))
+                    inv_mass = var
+                    # restart Welford + eps for the new metric
+                    w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
+                    adam = _AdamEps(adam.eps)
+            else:
+                i = t - num_warmup
+                zs[c, i] = z
+                lps[c, i] = -u
+                divs[c, i] = diverged
+                accs[c, i] = accept_prob
+                depths[c, i] = nleap
+                eps_out[c, i] = eps
+            if callback is not None:
+                callback(c, t, "warmup" if warm else "sample")
+
+    return {
+        "z": zs,
+        "lp": lps,
+        "diverging": divs,
+        "accept": accs,
+        "depth": depths,
+        "eps": eps_out,
+    }

@@ -1141,24 +1141,39 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     sampler=None resolves to 'hmc' on TPU (the nested-while NUTS
     transition trips a runtime fault there — docs/TPU_NOTES.md; this
     covers the BO-refinement and inverse-problem posteriors, which carry
-    the same GP-NLML potential), 'nuts' elsewhere."""
+    the same GP-NLML potential), 'nuts' elsewhere.  'hmc_host' keeps the
+    integrator on the host and launches ONE value+grad program per
+    leapfrog — the MAP program class, the only one demonstrated stable
+    at n=16384 on this platform (every compiled transition program
+    faults the worker there; docs/TPU_NOTES.md round 3)."""
     from .._config import is_tpu
 
     if sampler is None:
         sampler = "hmc" if is_tpu() else "nuts"
-        if sampler == "hmc" and max_treedepth == 10:
-            max_treedepth = 6
+    if sampler in ("hmc", "hmc_host") and max_treedepth == 10:
+        max_treedepth = 6
 
     def logp(z):
         return -neg_log_post(z)
 
     if z0 is None:
         z0 = rvpack.z0()
-    res = nuts_sample(
-        logp, z0, key=jax.random.PRNGKey(random_seed), num_warmup=tune,
-        num_samples=draws, num_chains=chains, target_accept=target_accept,
-        max_treedepth=max_treedepth, sampler=sampler,
-        steps_per_call=steps_per_call, adapt_tlen=adapt_tlen)
+    if sampler == "hmc_host":
+        from . import host_hmc
+
+        u_vg = jax.jit(jax.value_and_grad(neg_log_post))
+        res = host_hmc.hmc_host_sample(
+            lambda z: u_vg(jnp.asarray(z)), z0, num_warmup=tune,
+            num_samples=draws, num_chains=chains,
+            target_accept=target_accept, budget=2 ** max_treedepth,
+            seed=random_seed)
+    else:
+        res = nuts_sample(
+            logp, z0, key=jax.random.PRNGKey(random_seed),
+            num_warmup=tune, num_samples=draws, num_chains=chains,
+            target_accept=target_accept, max_treedepth=max_treedepth,
+            sampler=sampler, steps_per_call=steps_per_call,
+            adapt_tlen=adapt_tlen)
     zdraws = np.asarray(res["z"])  # (chains, draws, dim)
     posterior = {}
     for rv, off in zip(rvpack.rvs, rvpack.offsets):
@@ -1218,7 +1233,7 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
 
     if sampler is None:
         sampler = "hmc" if is_tpu() else "nuts"
-    if sampler == "hmc" and max_treedepth == 10:
+    if sampler in ("hmc", "hmc_host") and max_treedepth == 10:
         # HMC trajectory lengths are jittered uniformly within the
         # 2**depth budget (NUTS stops adaptively); these low-dimensional
         # hyperposteriors mix well under a 64-step budget

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""16k on-chip GP MCMC via HOST-DRIVEN HMC (inference/host_hmc.py).
+
+Every compiled MCMC transition program faults the axon worker at
+n=16384 (docs/TPU_NOTES.md round 3: jittered HMC crashed at
+steps_per_call=2 AND 1).  The host sampler sidesteps the fault class
+entirely: each leapfrog is one independent launch of the jitted
+value+grad — the MAP program class, stable for hours (~100 launches
+per L-BFGS fit).  Per-launch overhead ~30 ms vs the ~1.45 s 16k
+value+grad: ~2%.
+
+Same synthetic problem as bench.py / map16k.py.  Defaults are a short
+demonstration run (budget-8 trajectories); scale MCMC_TUNE/MCMC_DRAWS
+up for production posteriors.
+
+Usage: nohup python benchmarks/mcmc16k_host.py > /tmp/mcmc16k.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+N = int(os.environ.get("MCMC_N", 16384))
+BLOCK = int(os.environ.get("MCMC_BLOCK", 1024))
+TUNE = int(os.environ.get("MCMC_TUNE", 6))
+DRAWS = int(os.environ.get("MCMC_DRAWS", 6))
+BUDGET = int(os.environ.get("MCMC_BUDGET", 8))
+
+
+def make_data(n, nx=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2 + 0.01 * rng.normal(size=n)
+    return X, y
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from andvaranaut_tpu.gp import bigfit
+    from andvaranaut_tpu.inference import host_hmc
+
+    X, y = make_data(N)
+    rvpack, nlp = bigfit.make_mixed_objective(
+        jnp.asarray(X), jnp.asarray(y), kerns=("RBF",), noise=True,
+        jitter=1e-6, block=BLOCK)
+    u_vg = jax.jit(jax.value_and_grad(nlp))
+
+    z0 = np.asarray(rvpack.z0())
+    t0 = time.time()
+    u0, g0 = u_vg(jnp.asarray(z0))
+    print(f"compile+first eval {time.time() - t0:.1f}s, "
+          f"U0={float(u0):.2f}", flush=True)
+
+    nevals = [0]
+    t_evals = [0.0]
+
+    def vg(z):
+        t = time.time()
+        u, g = u_vg(jnp.asarray(z))
+        u = float(u)
+        g = np.asarray(g)
+        t_evals[0] += time.time() - t
+        nevals[0] += 1
+        return u, g
+
+    def progress(c, t, phase):
+        print(f"chain {c} transition {t} ({phase}), "
+              f"{nevals[0]} evals, {t_evals[0]:.0f}s eval time",
+              flush=True)
+
+    t0 = time.time()
+    res = host_hmc.hmc_host_sample(
+        vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=1,
+        budget=BUDGET, seed=0, callback=progress)
+    wall = time.time() - t0
+    lp = res["lp"][0]
+    print(f"16k host-HMC: {TUNE}+{DRAWS} transitions, budget {BUDGET}, "
+          f"{wall:.1f}s sampling wall, {nevals[0]} evals "
+          f"({t_evals[0] / max(nevals[0], 1):.2f}s/eval), "
+          f"accept {res['accept'].mean():.2f}, "
+          f"{int(res['diverging'].sum())} divergences", flush=True)
+    print("lp draws:", np.array2string(lp, precision=2), flush=True)
+    means = {k: np.asarray(v).mean(axis=(0, 1))
+             for k, v in _posterior(rvpack, res).items()}
+    print("posterior means:", means, flush=True)
+
+
+def _posterior(rvpack, res):
+    import jax.numpy as jnp
+
+    zdraws = np.asarray(res["z"])
+    out = {}
+    for rv, off in zip(rvpack.rvs, rvpack.offsets):
+        block = zdraws[..., off : off + rv.size]
+        vals = np.asarray(rv.forward(jnp.asarray(block)))
+        out[rv.name] = vals[..., 0] if rv.size == 1 else vals
+    return out
+
+
+if __name__ == "__main__":
+    main()
