@@ -58,9 +58,43 @@ class _AdamEps:
         return float(np.exp(self.log_eps))
 
 
+def _find_reasonable_eps(eval_ug, z, u, grad, inv_mass, rng,
+                         eps0=1.0, max_doublings=30):
+    """Hoffman-Gelman reasonable-epsilon search: double/halve eps until
+    one leapfrog's acceptance crosses 1/2.  Essential at large n — the
+    GP NLML's curvature scales with the dataset size (a 16k posterior
+    needs eps ~1e-3 where n=256 wants ~0.3), far outside what a short
+    bounded-ADAM warmup can traverse from a fixed start.  Costs one
+    value+grad launch per probe."""
+    r = rng.standard_normal(z.shape[0]) / np.sqrt(inv_mass)
+    h0 = u + 0.5 * float(np.dot(r * inv_mass, r))
+
+    def dh_at(eps):
+        rn = r - 0.5 * eps * grad
+        zn = z + eps * inv_mass * rn
+        un, gn = eval_ug(zn)
+        if not np.isfinite(un):
+            return np.inf
+        rn = rn - 0.5 * eps * gn
+        return un + 0.5 * float(np.dot(rn * inv_mass, rn)) - h0
+
+    eps = eps0
+    dh = dh_at(eps)
+    # direction: accept prob exp(-dh) vs 1/2  <=>  dh vs log 2
+    up = dh < np.log(2.0)
+    for _ in range(max_doublings):
+        eps = eps * 2.0 if up else eps * 0.5
+        dh = dh_at(eps)
+        if up and dh >= np.log(2.0):
+            return eps * 0.5
+        if (not up) and dh < np.log(2.0):
+            return eps
+    return eps
+
+
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     num_chains=1, target_accept=0.8, budget=16,
-                    eps0=0.05, jitter_init=1.0, seed=0,
+                    eps0=None, jitter_init=1.0, seed=0,
                     max_delta_h=1000.0, callback=None):
     """Jittered-trajectory HMC with a host-side integrator.
 
@@ -69,6 +103,8 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
         jax.jit(jax.value_and_grad(nlp)) for the MAP program class.
     z0: (dim,) start; chains start at z0 + U(-jitter_init, jitter_init).
     budget: max leapfrogs per transition; lengths drawn U{1..budget}.
+    eps0: initial step size; None (default) runs the reasonable-epsilon
+    doubling search per chain (and again after the mass-matrix apply).
     callback: optional f(chain, transition, phase) progress hook.
 
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
@@ -94,8 +130,10 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     for c in range(num_chains):
         z = z0 + rng.uniform(-jitter_init, jitter_init, size=dim)
         u, grad = eval_ug(z)
-        adam = _AdamEps(eps0)
         inv_mass = np.ones(dim)
+        adam = _AdamEps(
+            eps0 if eps0 is not None else _find_reasonable_eps(
+                eval_ug, z, u, grad, inv_mass, rng))
         # Welford accumulators over warmup iterates
         w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
 
@@ -140,9 +178,12 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     var = (w_n / (w_n + 5.0)) * var + 1e-3 * (
                         5.0 / (w_n + 5.0))
                     inv_mass = var
-                    # restart Welford + eps for the new metric
+                    # restart Welford + re-search eps for the new metric
                     w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
-                    adam = _AdamEps(adam.eps)
+                    adam = _AdamEps(
+                        eps0 if eps0 is not None
+                        else _find_reasonable_eps(
+                            eval_ug, z, u, grad, inv_mass, rng))
             else:
                 i = t - num_warmup
                 zs[c, i] = z

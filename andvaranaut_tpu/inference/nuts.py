@@ -1221,18 +1221,23 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
     chol_nlml inlines platform-pathological ops into every leapfrog).
     Default: on for TPU when the model has no learnable warpings.
 
-    sampler: 'nuts' or 'hmc'.  Default: 'hmc' on TPU (the nested-while
-    NUTS transition around a GP objective trips a runtime fault on this
-    platform — docs/TPU_NOTES.md; jittered fixed-budget HMC has the same
-    single-bounded-loop shape as the MAP path, which runs for hours
-    unharmed), 'nuts' elsewhere.
+    sampler: 'nuts', 'hmc' or 'hmc_host'.  Default: on TPU, 'hmc' up to
+    n=2048 (the largest compiled-transition config demonstrated green —
+    the nested-while NUTS transition AND, at 16k, every compiled
+    transition shape trip a runtime fault on this platform,
+    docs/TPU_NOTES.md) and 'hmc_host' above it (host integrator, one
+    MAP-class value+grad launch per leapfrog — measured fault-free at
+    n=16384 with ~2% launch overhead); 'nuts' elsewhere.
     """
     from ..gp import engine
 
     from .._config import is_tpu
 
     if sampler is None:
-        sampler = "hmc" if is_tpu() else "nuts"
+        if is_tpu():
+            sampler = "hmc_host" if cfg.x.shape[0] > 2048 else "hmc"
+        else:
+            sampler = "nuts"
     if sampler in ("hmc", "hmc_host") and max_treedepth == 10:
         # HMC trajectory lengths are jittered uniformly within the
         # 2**depth budget (NUTS stops adaptively); these low-dimensional

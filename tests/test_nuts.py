@@ -542,3 +542,40 @@ def test_sample_rvpack_hmc_host_gp(rng):
     # the chain must move and stay in a sane hyperparameter range
     assert np.unique(post["kv"]).size > 5
     assert (post["gv"] > 0).all()
+
+
+def test_sample_model_large_n_defaults_hmc_host(rng, monkeypatch):
+    """On TPU, sample_model's default sampler must switch to 'hmc_host'
+    above n=2048 (every compiled transition program faults the worker
+    at 16k; n=2048 is the largest compiled-HMC config demonstrated
+    green — docs/TPU_NOTES.md)."""
+    from andvaranaut_tpu import _config
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    seen = {}
+
+    def spy(rvpack, nlp, **kw):
+        seen["sampler"] = kw.get("sampler")
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(nuts, "sample_rvpack", spy)
+    monkeypatch.setattr(_config, "is_tpu", lambda: True)
+
+    def cfg_of(n):
+        X = rng.uniform(size=(n, 2))
+        y = np.sin(3 * X[:, 0]).reshape(-1, 1)
+        return engine.FitConfig(
+            kerns=("RBF",), ops=(), noise=True, truncate=False,
+            jitter=1e-6, iwgp=False, cwgp=False, priors=[None, None],
+            xconrevs=[_none_conrev(), _none_conrev()],
+            yconrevs=[_none_conrev()], x=X, y=y)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stop"):
+        nuts.sample_model(cfg_of(2049), draws=2, tune=2, mixed=True)
+    assert seen["sampler"] == "hmc_host"
+    with _pytest.raises(RuntimeError, match="stop"):
+        nuts.sample_model(cfg_of(64), draws=2, tune=2, mixed=True)
+    assert seen["sampler"] == "hmc"
