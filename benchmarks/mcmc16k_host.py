@@ -89,6 +89,15 @@ def main():
     means = {k: np.asarray(v).mean(axis=(0, 1))
              for k, v in _posterior(rvpack, res).items()}
     print("posterior means:", means, flush=True)
+    if DRAWS >= 8:
+        from andvaranaut_tpu.inference import nuts
+
+        z = res["z"]  # (chains, draws, dim)
+        ess = np.asarray([float(nuts.ess_bulk(z[..., i]))
+                          for i in range(z.shape[-1])])
+        print(f"min ESS {ess.min():.1f} of {DRAWS} draws "
+              f"({ess.min() / wall:.4f} ESS/s sampling wall)",
+              flush=True)
 
 
 def _posterior(rvpack, res):
