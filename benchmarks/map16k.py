@@ -21,6 +21,7 @@ from andvaranaut_tpu.gp import bigfit
 N = int(os.environ.get("MAP_N", 16384))
 BLOCK = int(os.environ.get("MAP_BLOCK", 1024))
 MAXITER = int(os.environ.get("MAP_MAXITER", 200))
+FTOL = float(os.environ.get("MAP_FTOL", 1e-7))
 
 
 def make_data(n, nx=2, seed=0):
@@ -34,7 +35,8 @@ def main():
     X, y = make_data(N)
     t0 = time.time()
     hypers, logpost = bigfit.big_map_fit(
-        X, y, kerns=("RBF",), block=BLOCK, maxiter=MAXITER, verbose=True)
+        X, y, kerns=("RBF",), block=BLOCK, maxiter=MAXITER, verbose=True,
+        ftol=FTOL)
     wall = time.time() - t0
     print(f"MAP fit N={N} block={BLOCK}: {wall:.1f}s incl compile, "
           f"logpost {logpost:.2f}, hypers {hypers}", flush=True)

@@ -61,6 +61,20 @@ def main():
     print(f"predict 2000 pts: {dt:.3f} s ({dt / 2000 * 1e6:.1f} us/pt), "
           f"RMSE vs truth {rmse:.2e}")
 
+    if os.environ.get("LARGE_N_MCMC", "0") == "1":
+        # Hyperparameter posterior at large N.  On TPU, sample_model
+        # (reached via fit(method='mcmc_mean')) automatically uses the
+        # host-driven HMC sampler above n=2048 — one MAP-class
+        # value+grad launch per leapfrog, the only program class that
+        # does not fault this platform's worker at 16k-scale
+        # (docs/TPU_NOTES.md).  Budget transitions to taste: each costs
+        # ~mean(budget)/2 launches of the mixed value+grad.
+        t0 = time.time()
+        g.fit(method="mcmc_mean", mixed=True, draws=20, tune=20,
+              chains=1, max_treedepth=3)
+        print(f"mcmc_mean fit N={N}: {time.time() - t0:.1f} s, "
+              f"hypers {g.hypers}")
+
 
 if __name__ == "__main__":
     main()
