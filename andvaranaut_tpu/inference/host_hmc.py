@@ -92,19 +92,38 @@ def _find_reasonable_eps(eval_ug, z, u, grad, inv_mass, rng,
     return eps
 
 
+class _ChainState:
+    """Per-chain HMC state (position, cached value+grad, step-size
+    ADAM, diagonal-mass Welford)."""
+
+    def __init__(self, z, u, grad, adam, dim):
+        self.z, self.u, self.grad, self.adam = z, u, grad, adam
+        self.inv_mass = np.ones(dim)
+        self.w_n, self.w_mean, self.w_m2 = 0, np.zeros(dim), np.zeros(dim)
+
+
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     num_chains=1, target_accept=0.8, budget=16,
                     eps0=None, jitter_init=1.0, seed=0,
-                    max_delta_h=1000.0, callback=None):
+                    max_delta_h=1000.0, adapt_tlen=None, callback=None):
     """Jittered-trajectory HMC with a host-side integrator.
 
     u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
         Called once per leapfrog as an independent launch; wrap it in
         jax.jit(jax.value_and_grad(nlp)) for the MAP program class.
     z0: (dim,) start; chains start at z0 + U(-jitter_init, jitter_init).
-    budget: max leapfrogs per transition; lengths drawn U{1..budget}.
+    budget: max leapfrogs per transition; lengths drawn U{1..budget}
+    (uniform jitter) or ~U{1..2*nmean} under ChEES adaptation.
     eps0: initial step size; None (default) runs the reasonable-epsilon
     doubling search per chain (and again after the mass-matrix apply).
+    adapt_tlen: ChEES-style warmup ascent on the mean trajectory length
+    (the compiled flat sampler's measured 5-7x ESS/leapfrog lever —
+    see nuts._run_chunk_flat for the derivation and the A/B matrix).
+    The halting criterion is defined against the CROSS-chain mean, so
+    chains advance in LOCKSTEP and pool a shared running mean; None
+    (default) enables it at num_chains >= 2 and falls back to uniform
+    jitter for a single chain (a 1-chain self-mean is the measured
+    runaway mode).
     callback: optional f(chain, transition, phase) progress hook.
 
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
@@ -115,6 +134,15 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     z0 = np.asarray(z0, dtype=np.float64).reshape(-1)
     dim = z0.shape[0]
     apply_at = max(1, int(0.6 * num_warmup))
+    if adapt_tlen and num_chains < 2:
+        import warnings
+
+        warnings.warn(
+            "adapt_tlen requires >= 2 chains (the ChEES halting "
+            "criterion is defined against the CROSS-chain mean); "
+            "falling back to uniform trajectory jitter.", stacklevel=2)
+    chees = (num_chains >= 2 if adapt_tlen is None
+             else (adapt_tlen and num_chains >= 2))
 
     def eval_ug(z):
         u, g = u_and_grad(z)
@@ -127,27 +155,44 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     depths = np.empty((num_chains, num_samples), dtype=np.int64)
     eps_out = np.empty((num_chains, num_samples))
 
+    chains = []
     for c in range(num_chains):
         z = z0 + rng.uniform(-jitter_init, jitter_init, size=dim)
         u, grad = eval_ug(z)
-        inv_mass = np.ones(dim)
         adam = _AdamEps(
             eps0 if eps0 is not None else _find_reasonable_eps(
-                eval_ug, z, u, grad, inv_mass, rng))
-        # Welford accumulators over warmup iterates
-        w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
+                eval_ug, z, u, grad, np.ones(dim), rng))
+        chains.append(_ChainState(z, u, grad, adam, dim))
 
-        for t in range(num_warmup + num_samples):
-            warm = t < num_warmup
-            eps = adam.eps
-            nleap = int(rng.integers(1, budget + 1))
-            r = rng.standard_normal(dim) / np.sqrt(inv_mass)
-            h0 = u + 0.5 * float(np.dot(r * inv_mass, r))
-            zn, un, gn, rn = z, u, grad, r
+    # shared ChEES state: log mean trajectory length IN LEAPFROG STEPS
+    # (the step-unit coordinate — eps motion cancels; nuts.py:616-630),
+    # Adam moments, pooled cross-chain running mean, grace start
+    log_nmean = float(np.log(max(budget / 4.0, 2.0)))
+    adm = adv = adc = 0.0
+    zb_n, zb_mean = 0, np.zeros(dim)
+    grace = 0
+
+    for t in range(num_warmup + num_samples):
+        warm = t < num_warmup
+        for c, st in enumerate(chains):
+            eps = st.adam.eps
+            if chees:
+                u_draw = float(rng.uniform())
+                ln_draw = min(log_nmean, np.log(budget / 2.0))
+                ns = int(np.ceil(2.0 * np.exp(ln_draw) * max(u_draw,
+                                                             1e-12)))
+                nleap = int(np.clip(ns, min(4, budget), budget))
+            else:
+                u_draw = 0.0
+                nleap = int(rng.integers(1, budget + 1))
+            r = rng.standard_normal(dim) / np.sqrt(st.inv_mass)
+            h0 = st.u + 0.5 * float(np.dot(r * st.inv_mass, r))
+            z_start = st.z
+            zn, un, gn, rn = st.z, st.u, st.grad, r
             diverged = False
             for _ in range(nleap):
                 rn = rn - 0.5 * eps * gn
-                zn = zn + eps * inv_mass * rn
+                zn = zn + eps * st.inv_mass * rn
                 un, gn = eval_ug(zn)
                 rn = rn - 0.5 * eps * gn
                 if not np.isfinite(un):
@@ -156,7 +201,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             if diverged:
                 accept_prob, accepted = 0.0, False
             else:
-                h1 = un + 0.5 * float(np.dot(rn * inv_mass, rn))
+                h1 = un + 0.5 * float(np.dot(rn * st.inv_mass, rn))
                 dh = h1 - h0
                 diverged = dh > max_delta_h
                 accept_prob = (1.0 if dh <= 0.0
@@ -164,36 +209,70 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                 accepted = (not diverged) and (
                     rng.uniform() < accept_prob)
             if accepted:
-                z, u, grad = zn, un, gn
+                st.z, st.u, st.grad = zn, un, gn
 
             if warm:
-                adam.update(accept_prob, target_accept)
-                w_n += 1
-                delta = z - w_mean
-                w_mean += delta / w_n
-                w_m2 += delta * (z - w_mean)
-                if t + 1 == apply_at and w_n > 10:
-                    var = w_m2 / max(w_n - 1, 1)
+                st.adam.update(accept_prob, target_accept)
+                st.w_n += 1
+                delta = st.z - st.w_mean
+                st.w_mean += delta / st.w_n
+                st.w_m2 += delta * (st.z - st.w_mean)
+                # pooled cross-chain running mean for ChEES
+                zb_n += 1
+                zb_mean = zb_mean + (st.z - zb_mean) / zb_n
+                if chees and not diverged and t > grace + 20:
+                    # halting derivative of the ChEES criterion at the
+                    # PROPOSAL (accepted or not), nuts.py:644-649
+                    d1 = zn - zb_mean
+                    d0 = z_start - zb_mean
+                    v1 = st.inv_mass * rn
+                    dCdt = ((np.dot(d1, d1) - np.dot(d0, d0))
+                            * np.dot(d1, v1))
+                    g = (dCdt * u_draw * accept_prob
+                         * np.exp(log_nmean) * eps)
+                    if np.isfinite(g):
+                        b1, b2, lr = 0.9, 0.999, 0.025
+                        adc += 1.0
+                        adm = b1 * adm + (1.0 - b1) * g
+                        adv = b2 * adv + (1.0 - b2) * g * g
+                        mhat = adm / (1.0 - b1 ** adc)
+                        vhat = adv / (1.0 - b2 ** adc)
+                        log_nmean = float(np.clip(
+                            log_nmean
+                            + lr * mhat / (np.sqrt(vhat) + 1e-10),
+                            np.log(2.0), np.log(float(budget))))
+                if t + 1 == apply_at and st.w_n > 10:
+                    var = st.w_m2 / max(st.w_n - 1, 1)
                     # regularised like PyMC's adapt_diag
-                    var = (w_n / (w_n + 5.0)) * var + 1e-3 * (
-                        5.0 / (w_n + 5.0))
-                    inv_mass = var
+                    var = (st.w_n / (st.w_n + 5.0)) * var + 1e-3 * (
+                        5.0 / (st.w_n + 5.0))
+                    st.inv_mass = var
                     # restart Welford + re-search eps for the new metric
-                    w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
-                    adam = _AdamEps(
+                    st.w_n, st.w_mean, st.w_m2 = (
+                        0, np.zeros(dim), np.zeros(dim))
+                    st.adam = _AdamEps(
                         eps0 if eps0 is not None
                         else _find_reasonable_eps(
-                            eval_ug, z, u, grad, inv_mass, rng))
+                            eval_ug, st.z, st.u, st.grad, st.inv_mass,
+                            rng))
             else:
                 i = t - num_warmup
-                zs[c, i] = z
-                lps[c, i] = -u
+                zs[c, i] = st.z
+                lps[c, i] = -st.u
                 divs[c, i] = diverged
                 accs[c, i] = accept_prob
                 depths[c, i] = nleap
                 eps_out[c, i] = eps
             if callback is not None:
                 callback(c, t, "warmup" if warm else "sample")
+        if warm and t + 1 == apply_at:
+            # ChEES learned the OLD metric's optimum: reset at half the
+            # uniform-jitter mean with fresh moments and a grace period
+            # for the pooled mean to restabilise (nuts.py:632-643)
+            log_nmean = float(np.log(max(budget / 4.0, 2.0)))
+            adm = adv = adc = 0.0
+            zb_n, zb_mean = 0, np.zeros(dim)
+            grace = t
 
     return {
         "z": zs,

@@ -29,6 +29,7 @@ BLOCK = int(os.environ.get("MCMC_BLOCK", 1024))
 TUNE = int(os.environ.get("MCMC_TUNE", 6))
 DRAWS = int(os.environ.get("MCMC_DRAWS", 6))
 BUDGET = int(os.environ.get("MCMC_BUDGET", 8))
+CHAINS = int(os.environ.get("MCMC_CHAINS", 1))  # >=2 enables ChEES
 
 
 def make_data(n, nx=2, seed=0):
@@ -76,11 +77,12 @@ def main():
 
     t0 = time.time()
     res = host_hmc.hmc_host_sample(
-        vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=1,
+        vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=CHAINS,
         budget=BUDGET, seed=0, callback=progress)
     wall = time.time() - t0
     lp = res["lp"][0]
-    print(f"16k host-HMC: {TUNE}+{DRAWS} transitions, budget {BUDGET}, "
+    print(f"16k host-HMC: {CHAINS} chain(s) x {TUNE}+{DRAWS} "
+          f"transitions, budget {BUDGET}, "
           f"{wall:.1f}s sampling wall, {nevals[0]} evals "
           f"({t_evals[0] / max(nevals[0], 1):.2f}s/eval), "
           f"accept {res['accept'].mean():.2f}, "

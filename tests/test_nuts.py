@@ -579,3 +579,43 @@ def test_sample_model_large_n_defaults_hmc_host(rng, monkeypatch):
     with _pytest.raises(RuntimeError, match="stop"):
         nuts.sample_model(cfg_of(64), draws=2, tune=2, mixed=True)
     assert seen["sampler"] == "hmc"
+
+
+def test_hmc_host_chees_adaptation(rng):
+    """Host-sampler ChEES (lockstep chains, pooled cross-chain mean):
+    on a correlated Gaussian the learned mean trajectory length must
+    leave the reset constant without running away to the budget cap
+    (the compiled sampler's measured failure modes), and the posterior
+    must stay correct.  Mechanism check: depths under adaptation are
+    drawn from 2*nmean, so their spread reflects the learned value."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    dim = 4
+    scales = np.asarray([0.3, 1.0, 3.0, 10.0])
+
+    def u_vg(z):
+        z = np.asarray(z)
+        return (0.5 * float(np.sum((z / scales) ** 2)),
+                z / scales ** 2)
+
+    res = host_hmc.hmc_host_sample(
+        u_vg, np.zeros(dim), num_warmup=600, num_samples=800,
+        num_chains=2, budget=32, seed=7)
+    z = res["z"].reshape(-1, dim)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.25)
+    depth = res["depth"]
+    # ChEES draws clip to [4, budget]; cap saturation (every draw at
+    # 32) and collapse (every draw at the 4 floor) both indicate the
+    # adaptation failed
+    assert depth.min() >= 4 and depth.max() <= 32
+    assert (depth == 32).mean() < 0.9, "trajectory cap saturation"
+    assert (depth == 4).mean() < 0.9, "trajectory collapse"
+    # single chain falls back to uniform jitter with a warning
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        host_hmc.hmc_host_sample(
+            u_vg, np.zeros(dim), num_warmup=30, num_samples=10,
+            num_chains=1, budget=8, seed=1, adapt_tlen=True)
+    assert any("CROSS-chain" in str(r.message) for r in rec)
