@@ -105,7 +105,8 @@ class _ChainState:
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     num_chains=1, target_accept=0.8, budget=16,
                     eps0=None, jitter_init=1.0, seed=0,
-                    max_delta_h=1000.0, adapt_tlen=None, callback=None):
+                    max_delta_h=1000.0, adapt_tlen=None, callback=None,
+                    on_draw=None):
     """Jittered-trajectory HMC with a host-side integrator.
 
     u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
@@ -125,6 +126,11 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     jitter for a single chain (a 1-chain self-mean is the measured
     runaway mode).
     callback: optional f(chain, transition, phase) progress hook.
+    on_draw: optional f(chain, draw_index, z, lp) called after each
+    post-warmup draw is recorded — incremental persistence for long
+    runs on a platform whose remote runtime can wedge mid-call
+    (docs/TPU_NOTES.md; a blocked eval otherwise loses every draw,
+    since results are only returned at the end).
 
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
     diverging, accept, depth (actual leapfrog count per transition),
@@ -263,6 +269,8 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                 accs[c, i] = accept_prob
                 depths[c, i] = nleap
                 eps_out[c, i] = eps
+                if on_draw is not None:
+                    on_draw(c, i, st.z, -st.u)
             if callback is not None:
                 callback(c, t, "warmup" if warm else "sample")
         if warm and t + 1 == apply_at:

@@ -75,10 +75,20 @@ def main():
               f"{nevals[0]} evals, {t_evals[0]:.0f}s eval time",
               flush=True)
 
+    draws_log = os.environ.get("MCMC_DRAWS_LOG")
+
+    def dump(c, i, z, lp):
+        # incremental persistence: a wedged remote runtime otherwise
+        # loses the whole run (draws only return at the end)
+        if draws_log:
+            with open(draws_log, "a") as f:
+                f.write(f"{c} {i} {lp:.6f} "
+                        + " ".join(f"{v:.10g}" for v in z) + "\n")
+
     t0 = time.time()
     res = host_hmc.hmc_host_sample(
         vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=CHAINS,
-        budget=BUDGET, seed=0, callback=progress)
+        budget=BUDGET, seed=0, callback=progress, on_draw=dump)
     wall = time.time() - t0
     lp = res["lp"][0]
     print(f"16k host-HMC: {CHAINS} chain(s) x {TUNE}+{DRAWS} "
