@@ -121,10 +121,14 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     (the compiled flat sampler's measured 5-7x ESS/leapfrog lever —
     see nuts._run_chunk_flat for the derivation and the A/B matrix).
     The halting criterion is defined against the CROSS-chain mean, so
-    chains advance in LOCKSTEP and pool a shared running mean; None
-    (default) enables it at num_chains >= 2 and falls back to uniform
-    jitter for a single chain (a 1-chain self-mean is the measured
-    runaway mode).
+    chains advance in LOCKSTEP and pool a shared running mean; a single
+    chain falls back to uniform jitter (a 1-chain self-mean is the
+    measured runaway mode).  None (default) enables it only where the
+    A/Bs measured a win: num_chains >= 2 AND num_warmup >= 100 AND
+    budget >= 16 — short warmups cannot learn the length (the floor-4
+    draws are then LESS diverse than uniform jitter and ESS drops:
+    measured 5 vs 14 min-ESS at 50+100/budget-8 on a GP posterior,
+    against 496 vs 226 at 200+400/budget-32).
     callback: optional f(chain, transition, phase) progress hook.
     on_draw: optional f(chain, draw_index, z, lp) called after each
     post-warmup draw is recorded — incremental persistence for long
@@ -147,8 +151,10 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             "adapt_tlen requires >= 2 chains (the ChEES halting "
             "criterion is defined against the CROSS-chain mean); "
             "falling back to uniform trajectory jitter.", stacklevel=2)
-    chees = (num_chains >= 2 if adapt_tlen is None
-             else (adapt_tlen and num_chains >= 2))
+    if adapt_tlen is None:
+        chees = num_chains >= 2 and num_warmup >= 100 and budget >= 16
+    else:
+        chees = bool(adapt_tlen) and num_chains >= 2
 
     def eval_ug(z):
         u, g = u_and_grad(z)
@@ -172,11 +178,17 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
 
     # shared ChEES state: log mean trajectory length IN LEAPFROG STEPS
     # (the step-unit coordinate — eps motion cancels; nuts.py:616-630),
-    # Adam moments, pooled cross-chain running mean, grace start
+    # Adam moments, pooled cross-chain running mean, grace start.
+    # Grace periods SCALE with the warmup (the compiled sampler's fixed
+    # 20 assumes 300+-transition warmups; at the 16k scale tune is
+    # 30-100 and a fixed 20 after the mass apply freezes adaptation for
+    # the rest of warmup — measured: depths pinned at the 4-leapfrog
+    # floor, min ESS 1.3/50 vs 6/100 for plain jitter)
     log_nmean = float(np.log(max(budget / 4.0, 2.0)))
     adm = adv = adc = 0.0
     zb_n, zb_mean = 0, np.zeros(dim)
     grace = 0
+    grace_len = min(20, max(2, apply_at // 3))
 
     for t in range(num_warmup + num_samples):
         warm = t < num_warmup
@@ -226,7 +238,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                 # pooled cross-chain running mean for ChEES
                 zb_n += 1
                 zb_mean = zb_mean + (st.z - zb_mean) / zb_n
-                if chees and not diverged and t > grace + 20:
+                if chees and not diverged and t > grace + grace_len:
                     # halting derivative of the ChEES criterion at the
                     # PROPOSAL (accepted or not), nuts.py:644-649
                     d1 = zn - zb_mean
@@ -274,13 +286,19 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             if callback is not None:
                 callback(c, t, "warmup" if warm else "sample")
         if warm and t + 1 == apply_at:
-            # ChEES learned the OLD metric's optimum: reset at half the
-            # uniform-jitter mean with fresh moments and a grace period
-            # for the pooled mean to restabilise (nuts.py:632-643)
-            log_nmean = float(np.log(max(budget / 4.0, 2.0)))
+            # ChEES learned the OLD metric's optimum: fresh moments and
+            # a grace period for the pooled mean to restabilise
+            # (nuts.py:632-643).  The VALUE resets to half the
+            # uniform-jitter mean only when enough warmup remains to
+            # re-learn it; a short tail keeps the pre-apply value (a
+            # metric-mistuned-but-learned length beats freezing at the
+            # reset constant — the measured short-warmup failure mode)
+            if num_warmup - apply_at >= 40:
+                log_nmean = float(np.log(max(budget / 4.0, 2.0)))
             adm = adv = adc = 0.0
             zb_n, zb_mean = 0, np.zeros(dim)
             grace = t
+            grace_len = min(20, max(2, (num_warmup - apply_at) // 3))
 
     return {
         "z": zs,
