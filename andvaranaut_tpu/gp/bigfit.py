@@ -84,13 +84,21 @@ def nlml_value_and_grad(X, y, z, kerns=("RBF",), ops=(), noise=True,
         rvpack = _default_rvpack(X.shape[1], kerns, noise)
     return _nlml_vg(X, y, z, rvpack, tuple(kerns), tuple(ops), noise,
                     float(jitter), int(block),
-                    inv_iters=_grad_inv_iters())
+                    inv_iters=_grad_inv_iters(), shrink=_fit_shrink())
+
+
+def _fit_shrink() -> int:
+    """Cholesky level-shrink for the fit/MCMC value+grad programs —
+    compile-bound workflows default to ONE full-height level (see
+    precision.fit_shrink)."""
+    return precision.fit_shrink()
 
 
 @partial(jax.jit, static_argnames=(
-    "rvpack", "kerns", "ops", "noise", "jitter", "block", "inv_iters"))
+    "rvpack", "kerns", "ops", "noise", "jitter", "block", "inv_iters",
+    "shrink"))
 def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block,
-             inv_iters=2):
+             inv_iters=2, shrink=None):
     n, nx = X.shape
     has_alpha = "RatQuad" in kerns
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -111,7 +119,8 @@ def _nlml_vg(X, y, z, rvpack, kerns, ops, noise, jitter, block,
         return K_ + jnp.where(row_iota == col_iota, jitter + gv_, 0.0)
 
     K = gram_fn(z)
-    L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True)
+    L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True,
+                                         shrink=shrink)
     alpha_vec = precision.refined_chol_solve(L, K, y, block=block, Dinv=Dinv)
     logl = (
         -0.5 * jnp.dot(y, alpha_vec)
@@ -296,7 +305,7 @@ def make_warped_vg(cfg, block: int = 1024):
         K = kernels.gram(kerns, ops, xin, None, l, kv, alpha_p)
         K = K + jnp.where(row_iota == col_iota, jitter + gv, 0.0)
         L, Dinv = precision.blocked_cholesky(
-            K, block=block, return_inv=True)
+            K, block=block, return_inv=True, shrink=_fit_shrink())
         alpha_vec = precision.refined_chol_solve(
             L, K, yin, block=block, Dinv=Dinv)
         logl = (

@@ -405,7 +405,8 @@ def chol_state_masked_mixed(kerns, ops, xin, yin, valid, l, kv, gv, alpha,
     vv = valid.astype(K.dtype)
     K = K * (vv[:, None] * vv[None, :])
     K = K + jnp.diag((1.0 - vv) + vv * (jitter + gv))
-    L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True)
+    L, Dinv = precision.blocked_cholesky(K, block=block, return_inv=True,
+                                         shrink=precision.fit_shrink())
     # alpha = K^-1 y by factorisation-preconditioned CG (plain refinement
     # stalls at the factorisation-residual floor, ~5e-5 relative at 16k):
     # predictive MEANS contract the exact cross-Gram against it, avoiding

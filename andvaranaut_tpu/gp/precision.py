@@ -60,6 +60,25 @@ INV_SOLVE_ITERS = 2
 CHOL_SHRINK = int(_os.environ.get("ANDVARANAUT_CHOL_SHRINK", "4"))
 
 
+def fit_shrink() -> int:
+    """Cholesky level-shrink for COMPILE-bound programs (MAP/MCMC
+    value+grad, prediction conditioning — few launches per compile).
+
+    Each shrink level adds ~2 big Mosaic kernel variants to the program
+    (~15-45 s of remote compile each, benchmarks/compile_audit.py:
+    16k vg 22 variants at shrink=4 vs 10 at shrink=1), while shrink=1
+    costs only ~3% per evaluation there (the 16k MAP fit measured
+    365.4 s incl compile at shrink=1 vs 393.7 s at shrink=4, identical
+    optimum).  Steady-state programs (the headline NLML bench) keep the
+    CHOL_SHRINK default.  An explicit ANDVARANAUT_CHOL_SHRINK overrides
+    both.  Read at trace time.
+    """
+    env = _os.environ.get("ANDVARANAUT_CHOL_SHRINK")
+    if env is not None:
+        return int(env)
+    return 1
+
+
 def _split_slices(A, nslices: int):
     """A (f64/f32) ~= sum of bf16 slices with descending 8-bit mantissa
     windows.
@@ -844,7 +863,7 @@ def _chol_steps(A, nsteps: int, block: int, mixed: bool, nslices: int):
 
 def blocked_cholesky(K, block: int = 256, mixed: bool = True,
                      nslices: int = DEFAULT_NSLICES,
-                     return_inv: bool = False):
+                     return_inv: bool = False, shrink: int | None = None):
     """Right-looking blocked Cholesky with dyadically-shrinking height.
 
     Diagonal factorisations run in true f64 (cheap O(N b^2) emulated work);
@@ -859,7 +878,15 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
     slice the bottom-right half and recurse — ~log2(nb) compiled bodies,
     total syrk work ~1.7x ideal instead of 3x (measured 2.9 s -> see
     TPU_NOTES for the round-2 number at 16k).
+
+    shrink: overrides the module CHOL_SHRINK level-shrink factor for
+    this factorisation (1 = ONE full-height level).  Every level is
+    ~2 extra big Mosaic kernel variants (~15-45 s of remote compile
+    each, benchmarks/compile_audit.py): compile-bound workflows (MAP
+    fits, host MCMC) pass 1; steady-state programs (the headline bench)
+    keep the env default 4.
     """
+    shrink_f = CHOL_SHRINK if shrink is None else max(int(shrink), 1)
     n0 = K.shape[0]
     if n0 <= block:
         if return_inv and mixed and _use_fast_diag():
@@ -910,7 +937,7 @@ def blocked_cholesky(K, block: int = 256, mixed: bool = True,
             L = jax.lax.dynamic_update_slice(L, Ljj, (offset, offset))
             Dparts.append(Linv[None])
             break
-        nsteps = max(-(-nbl // CHOL_SHRINK), 1)
+        nsteps = max(-(-nbl // shrink_f), 1)
         h = nsteps * block
         if pair:
             Ahi, Alo, Dpart = _chol_steps_pair(

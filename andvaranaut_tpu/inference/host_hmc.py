@@ -102,11 +102,37 @@ class _ChainState:
         self.w_n, self.w_mean, self.w_m2 = 0, np.zeros(dim), np.zeros(dim)
 
 
+def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-4, floor=1e-12):
+    """Diagonal inverse mass from the curvature at a MAP point.
+
+    At the posterior mode the covariance is ~H^-1 (H = grad^2 U, U the
+    negative log posterior), so inv_mass_i = 1/H_ii whitens the target
+    far better than a Welford estimate built from a handful of
+    correlated warmup transitions — the measured budget-16 failure mode
+    at 16k (accept 0.08 post-apply: the mass landed mid-warmup off a
+    ~18-transition window and the eps re-search had no room to recover,
+    docs/TPU_NOTES.md).  Forward differences of the gradient: dim+1
+    value+grad launches (~7 s at 16k) — negligible next to one
+    transition.  Non-positive curvature directions (not at a mode) fall
+    back to unit mass.
+    """
+    z = np.asarray(z_map, dtype=np.float64).reshape(-1)
+    _, g0 = u_and_grad(z)
+    g0 = np.asarray(g0, dtype=np.float64)
+    h = np.empty_like(z)
+    for i in range(z.size):
+        zp = z.copy()
+        zp[i] += fd_h
+        _, gi = u_and_grad(zp)
+        h[i] = (np.asarray(gi, dtype=np.float64)[i] - g0[i]) / fd_h
+    return np.where(h > floor, 1.0 / np.maximum(h, floor), 1.0)
+
+
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     num_chains=1, target_accept=0.8, budget=16,
                     eps0=None, jitter_init=1.0, seed=0,
                     max_delta_h=1000.0, adapt_tlen=None, callback=None,
-                    on_draw=None):
+                    on_draw=None, inv_mass0=None, adapt_mass=True):
     """Jittered-trajectory HMC with a host-side integrator.
 
     u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
@@ -135,6 +161,11 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     runs on a platform whose remote runtime can wedge mid-call
     (docs/TPU_NOTES.md; a blocked eval otherwise loses every draw,
     since results are only returned at the end).
+    inv_mass0: (dim,) initial diagonal inverse mass (e.g.
+    map_diag_inv_mass at a MAP start); adapt_mass=False keeps it for
+    the whole run (no Welford apply, no mid-warmup eps re-search) —
+    the right setting when the curvature mass is trusted and warmup is
+    short.
 
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
     diverging, accept, depth (actual leapfrog count per transition),
@@ -167,14 +198,18 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     depths = np.empty((num_chains, num_samples), dtype=np.int64)
     eps_out = np.empty((num_chains, num_samples))
 
+    im0 = (np.ones(dim) if inv_mass0 is None
+           else np.asarray(inv_mass0, dtype=np.float64).reshape(-1))
     chains = []
     for c in range(num_chains):
         z = z0 + rng.uniform(-jitter_init, jitter_init, size=dim)
         u, grad = eval_ug(z)
         adam = _AdamEps(
             eps0 if eps0 is not None else _find_reasonable_eps(
-                eval_ug, z, u, grad, np.ones(dim), rng))
-        chains.append(_ChainState(z, u, grad, adam, dim))
+                eval_ug, z, u, grad, im0, rng))
+        st = _ChainState(z, u, grad, adam, dim)
+        st.inv_mass = im0.copy()
+        chains.append(st)
 
     # shared ChEES state: log mean trajectory length IN LEAPFROG STEPS
     # (the step-unit coordinate — eps motion cancels; nuts.py:616-630),
@@ -259,7 +294,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                             log_nmean
                             + lr * mhat / (np.sqrt(vhat) + 1e-10),
                             np.log(2.0), np.log(float(budget))))
-                if t + 1 == apply_at and st.w_n > 10:
+                if adapt_mass and t + 1 == apply_at and st.w_n > 10:
                     var = st.w_m2 / max(st.w_n - 1, 1)
                     # regularised like PyMC's adapt_diag
                     var = (st.w_n / (st.w_n + 5.0)) * var + 1e-3 * (
@@ -285,7 +320,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     on_draw(c, i, st.z, -st.u)
             if callback is not None:
                 callback(c, t, "warmup" if warm else "sample")
-        if warm and t + 1 == apply_at:
+        if warm and adapt_mass and t + 1 == apply_at:
             # ChEES learned the OLD metric's optimum: fresh moments and
             # a grace period for the pooled mean to restabilise
             # (nuts.py:632-643).  The VALUE resets to half the

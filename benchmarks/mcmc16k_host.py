@@ -30,6 +30,18 @@ TUNE = int(os.environ.get("MCMC_TUNE", 6))
 DRAWS = int(os.environ.get("MCMC_DRAWS", 6))
 BUDGET = int(os.environ.get("MCMC_BUDGET", 8))
 CHAINS = int(os.environ.get("MCMC_CHAINS", 1))  # >=2 enables ChEES
+#: "map" = start chains at the best recorded 16k MAP optimum (logpost
+#: 51935.52, docs/TPU_NOTES.md round 4) instead of the prior default —
+#: warmup then tunes eps/mass on the posterior bulk from transition 1
+#: rather than spending itself on the transit (the measured budget-32
+#: accept collapse).  Or "gv,l1,l2,kv" comma floats (constrained).
+START = os.environ.get("MCMC_START", "")
+#: 1 = fix the mass matrix to the finite-difference curvature at the
+#: start point (host_hmc.map_diag_inv_mass; dim+1 extra launches) and
+#: disable Welford adaptation — for MAP starts, where the Welford
+#: window is the measured budget-16 accept collapse.
+HESS_MASS = int(os.environ.get("MCMC_HESS_MASS", "0"))
+JITTER = float(os.environ.get("MCMC_JITTER", "1.0"))
 
 
 def make_data(n, nx=2, seed=0):
@@ -52,7 +64,18 @@ def main():
         jitter=1e-6, block=BLOCK)
     u_vg = jax.jit(jax.value_and_grad(nlp))
 
-    z0 = np.asarray(rvpack.z0())
+    if START == "map":
+        start_vals = {"gv": 1.011e-4, "l": [0.931, 1.817], "kv": 6.04}
+        z0 = np.asarray(rvpack.pack_values(start_vals))
+        print(f"starting at the recorded MAP optimum: {start_vals}",
+              flush=True)
+    elif START:
+        v = [float(s) for s in START.split(",")]
+        z0 = np.asarray(rvpack.pack_values(
+            {"gv": v[0], "l": v[1:-1], "kv": v[-1]}))
+        print(f"starting at {v}", flush=True)
+    else:
+        z0 = np.asarray(rvpack.z0())
     t0 = time.time()
     u0, g0 = u_vg(jnp.asarray(z0))
     print(f"compile+first eval {time.time() - t0:.1f}s, "
@@ -85,10 +108,17 @@ def main():
                 f.write(f"{c} {i} {lp:.6f} "
                         + " ".join(f"{v:.10g}" for v in z) + "\n")
 
+    inv_mass0 = None
+    if HESS_MASS:
+        inv_mass0 = host_hmc.map_diag_inv_mass(vg, z0)
+        print(f"curvature inv_mass at start: {inv_mass0}", flush=True)
+
     t0 = time.time()
     res = host_hmc.hmc_host_sample(
         vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=CHAINS,
-        budget=BUDGET, seed=0, callback=progress, on_draw=dump)
+        budget=BUDGET, seed=0, callback=progress, on_draw=dump,
+        jitter_init=JITTER, inv_mass0=inv_mass0,
+        adapt_mass=not HESS_MASS)
     wall = time.time() - t0
     lp = res["lp"][0]
     print(f"16k host-HMC: {CHAINS} chain(s) x {TUNE}+{DRAWS} "

@@ -619,3 +619,30 @@ def test_hmc_host_chees_adaptation(rng):
             u_vg, np.zeros(dim), num_warmup=30, num_samples=10,
             num_chains=1, budget=8, seed=1, adapt_tlen=True)
     assert any("CROSS-chain" in str(r.message) for r in rec)
+
+
+def test_hmc_host_curvature_mass():
+    """map_diag_inv_mass recovers 1/H_ii at a mode, and a FIXED
+    curvature mass (adapt_mass=False) whitens an ill-scaled Gaussian
+    with a SHORT warmup — the 16k MAP-start regime, where the Welford
+    window was the measured budget-16 accept collapse (accept 0.08,
+    docs/TPU_NOTES.md round 4)."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([0.05, 1.0, 5.0])
+
+    def u_vg(z):
+        z = np.asarray(z)
+        return (0.5 * float(np.sum((z / scales) ** 2)),
+                z / scales ** 2)
+
+    im = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3))
+    np.testing.assert_allclose(im, scales ** 2, rtol=1e-3)
+
+    res = host_hmc.hmc_host_sample(
+        u_vg, np.zeros(3), num_warmup=60, num_samples=900,
+        num_chains=2, budget=16, seed=4, jitter_init=0.1,
+        inv_mass0=im, adapt_mass=False)
+    z = res["z"].reshape(-1, 3)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
+    assert res["accept"].mean() > 0.5

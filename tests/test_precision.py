@@ -833,3 +833,41 @@ def test_cholinv_mxu_syrk_parity(rng, monkeypatch):
     assert res < 1e-12, res
     dL = np.abs(np.asarray(L1) - np.asarray(L0)).max()
     assert dL < 1e-7 * np.abs(np.asarray(L0)).max(), dL
+
+
+def test_fit_shrink_policy(monkeypatch):
+    """Compile-bound programs (fit/MCMC vg, prediction conditioning)
+    default to ONE Cholesky level (fit_shrink()=1, ~12 fewer Mosaic
+    variants at 16k — benchmarks/compile_audit.py); an explicit
+    ANDVARANAUT_CHOL_SHRINK overrides."""
+    from andvaranaut_tpu.gp import bigfit
+
+    monkeypatch.delenv("ANDVARANAUT_CHOL_SHRINK", raising=False)
+    assert precision.fit_shrink() == 1
+    assert bigfit._fit_shrink() == 1
+    monkeypatch.setenv("ANDVARANAUT_CHOL_SHRINK", "4")
+    assert precision.fit_shrink() == 4
+
+
+def test_vg_passes_fit_shrink(rng, monkeypatch):
+    """nlml_value_and_grad threads fit_shrink() into blocked_cholesky
+    (the compile-policy plumbing, not the math — parity is covered by
+    the grad-parity tests above)."""
+    from andvaranaut_tpu.gp import bigfit
+
+    monkeypatch.delenv("ANDVARANAUT_CHOL_SHRINK", raising=False)
+    seen = {}
+    real = precision.blocked_cholesky
+
+    def spy(K, **kw):
+        seen["shrink"] = kw.get("shrink")
+        return real(K, **kw)
+
+    monkeypatch.setattr(precision, "blocked_cholesky", spy)
+    # unique n to force a fresh trace past the jit cache
+    n = 24
+    X = rng.uniform(size=(n, 2))
+    y = rng.normal(size=n)
+    bigfit.nlml_value_and_grad(
+        jnp.asarray(X), jnp.asarray(y), jnp.zeros(4), block=8)
+    assert seen["shrink"] == 1
