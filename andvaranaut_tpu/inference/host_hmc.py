@@ -102,7 +102,8 @@ class _ChainState:
         self.w_n, self.w_mean, self.w_m2 = 0, np.zeros(dim), np.zeros(dim)
 
 
-def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-4, floor=1e-12):
+def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
+                      clip_max=1.0):
     """Diagonal inverse mass from the curvature at a MAP point.
 
     At the posterior mode the covariance is ~H^-1 (H = grad^2 U, U the
@@ -111,21 +112,35 @@ def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-4, floor=1e-12):
     correlated warmup transitions — the measured budget-16 failure mode
     at 16k (accept 0.08 post-apply: the mass landed mid-warmup off a
     ~18-transition window and the eps re-search had no room to recover,
-    docs/TPU_NOTES.md).  Forward differences of the gradient: dim+1
-    value+grad launches (~7 s at 16k) — negligible next to one
-    transition.  Non-positive curvature directions (not at a mode) fall
-    back to unit mass.
+    docs/TPU_NOTES.md).  Central differences of the gradient: 2*dim
+    value+grad launches (~12 s at 16k) — negligible next to one
+    transition.
+
+    fd_h: step in unconstrained space.  NOT tiny: the mixed-precision
+    16k gradient carries absolute noise that swamps H_ii*h at h=1e-4
+    (measured: two of four dims came back NEGATIVE at the true
+    optimum); 1e-2 is ~1 posterior std there and still well inside the
+    quadratic basin.
+    clip_max: upper clip on inv_mass_i (weakly-identified/noisy
+    directions otherwise explode the step along that axis).  1.0 =
+    unit mass, the prior z-scale of the GP hyperparameter menu
+    (lognormal/halfnormal sigmas ~0.75-1) — the posterior cannot be
+    wider.  Non-positive curvature directions fall back to clip_max.
     """
     z = np.asarray(z_map, dtype=np.float64).reshape(-1)
-    _, g0 = u_and_grad(z)
-    g0 = np.asarray(g0, dtype=np.float64)
     h = np.empty_like(z)
     for i in range(z.size):
         zp = z.copy()
         zp[i] += fd_h
-        _, gi = u_and_grad(zp)
-        h[i] = (np.asarray(gi, dtype=np.float64)[i] - g0[i]) / fd_h
-    return np.where(h > floor, 1.0 / np.maximum(h, floor), 1.0)
+        _, gp_ = u_and_grad(zp)
+        zm = z.copy()
+        zm[i] -= fd_h
+        _, gm = u_and_grad(zm)
+        h[i] = (np.asarray(gp_, dtype=np.float64)[i]
+                - np.asarray(gm, dtype=np.float64)[i]) / (2.0 * fd_h)
+    fallback = 1.0 if clip_max is None else float(clip_max)
+    im = np.where(h > floor, 1.0 / np.maximum(h, floor), fallback)
+    return np.minimum(im, clip_max) if clip_max is not None else im
 
 
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,

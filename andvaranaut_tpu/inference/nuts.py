@@ -1134,7 +1134,8 @@ class MCMCData:
 def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
                   z0=None, verbose=False, sampler=None,
-                  steps_per_call=100, adapt_tlen=True) -> "MCMCData":
+                  steps_per_call=100, adapt_tlen=True,
+                  curvature_mass=False) -> "MCMCData":
     """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
     into constrained posterior arrays.
 
@@ -1145,7 +1146,14 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     integrator on the host and launches ONE value+grad program per
     leapfrog — the MAP program class, the only one demonstrated stable
     at n=16384 on this platform (every compiled transition program
-    faults the worker there; docs/TPU_NOTES.md round 3)."""
+    faults the worker there; docs/TPU_NOTES.md round 3).
+
+    curvature_mass: for 'hmc_host' with a warm z0 (a MAP point): fix
+    the mass matrix to the finite-difference curvature at z0
+    (host_hmc.map_diag_inv_mass, dim+1 extra launches) and skip Welford
+    adaptation — the short-warmup Welford window was the measured 16k
+    budget-16 accept collapse (0.08, docs/TPU_NOTES.md round 4).
+    Ignored by the compiled samplers."""
     from .._config import is_tpu
 
     if sampler is None:
@@ -1162,11 +1170,17 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
         from . import host_hmc
 
         u_vg = jax.jit(jax.value_and_grad(neg_log_post))
+
+        def host_fn(z):
+            return u_vg(jnp.asarray(z))
+
+        im0 = (host_hmc.map_diag_inv_mass(host_fn, np.asarray(z0))
+               if curvature_mass else None)
         res = host_hmc.hmc_host_sample(
-            lambda z: u_vg(jnp.asarray(z)), z0, num_warmup=tune,
+            host_fn, z0, num_warmup=tune,
             num_samples=draws, num_chains=chains,
             target_accept=target_accept, budget=2 ** max_treedepth,
-            seed=random_seed)
+            seed=random_seed, inv_mass0=im0, adapt_mass=im0 is None)
     else:
         res = nuts_sample(
             logp, z0, key=jax.random.PRNGKey(random_seed),
@@ -1312,9 +1326,11 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         rvpack, nlp = engine.build_objective(cfg)
     z0 = rvpack.z0()
     start = kwargs.pop("start", None)
+    warm = False
     if start is not None:
         try:
             z0 = rvpack.pack_values(start)
+            warm = True
         except (KeyError, TypeError):
             pass
     return sample_rvpack(
@@ -1322,4 +1338,8 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         target_accept=target_accept, random_seed=random_seed,
         max_treedepth=max_treedepth, z0=z0, verbose=verbose,
         sampler=sampler, steps_per_call=steps_per_call,
-        adapt_tlen=adapt_tlen)
+        adapt_tlen=adapt_tlen,
+        # a warm start is (almost always) a fitted MAP point: fix the
+        # host sampler's mass to the curvature there instead of a
+        # short-warmup Welford estimate (no-op for compiled samplers)
+        curvature_mass=warm)

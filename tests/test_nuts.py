@@ -636,8 +636,12 @@ def test_hmc_host_curvature_mass():
         return (0.5 * float(np.sum((z / scales) ** 2)),
                 z / scales ** 2)
 
-    im = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3))
+    im = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3), clip_max=None)
     np.testing.assert_allclose(im, scales ** 2, rtol=1e-3)
+    # the default clip bounds weak/noisy directions at unit (prior) mass
+    clipped = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3))
+    np.testing.assert_allclose(clipped, np.minimum(scales ** 2, 1.0),
+                               rtol=1e-3)
 
     res = host_hmc.hmc_host_sample(
         u_vg, np.zeros(3), num_warmup=60, num_samples=900,
@@ -646,3 +650,37 @@ def test_hmc_host_curvature_mass():
     z = res["z"].reshape(-1, 3)
     np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
     assert res["accept"].mean() > 0.5
+
+
+def test_sample_model_warm_start_curvature_mass(rng, monkeypatch):
+    """sample_model(start=..., sampler='hmc_host') fixes the host
+    sampler's mass to the curvature at the start (inv_mass0 set,
+    adapt_mass off) — the facade's mcmc-after-map path at large N."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.inference import host_hmc
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n, nx = 32, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.1 * rng.normal(size=n)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None] * nx,
+        xconrevs=[_none_conrev()] * nx, yconrevs=[_none_conrev()],
+        x=X, y=y.reshape(-1, 1))
+
+    seen = {}
+    real = host_hmc.hmc_host_sample
+
+    def spy(fn, z0, **kw):
+        seen["inv_mass0"] = kw.get("inv_mass0")
+        seen["adapt_mass"] = kw.get("adapt_mass")
+        return real(fn, z0, **kw)
+
+    monkeypatch.setattr(host_hmc, "hmc_host_sample", spy)
+    nuts.sample_model(
+        cfg, draws=4, tune=4, chains=1, sampler="hmc_host",
+        mixed=False, start={"gv": 0.01, "l": [1.0, 1.0], "kv": 1.0})
+    assert seen["inv_mass0"] is not None
+    assert seen["adapt_mass"] is False
+    assert np.all(np.isfinite(seen["inv_mass0"]))
