@@ -125,7 +125,16 @@ def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
     directions otherwise explode the step along that axis).  1.0 =
     unit mass, the prior z-scale of the GP hyperparameter menu
     (lognormal/halfnormal sigmas ~0.75-1) — the posterior cannot be
-    wider.  Non-positive curvature directions fall back to clip_max.
+    wider.  Non-positive curvature directions fall back to the
+    SMALLEST resolved inv_mass (conservative-small: the step-size
+    search compensates an undersized axis upward, while one oversized
+    axis collapses eps for every dimension at once — a unit fallback
+    next to a 1e-5-variance dim was the measured 16k crawl mode); with
+    no resolved dimension at all, to clip_max (or 1.0).
+
+    NOTE: when pilot draws are available, draws_inv_mass beats this
+    estimator — at 16k the FD curvature overestimated the posterior
+    z-variances 10-60x (gradient noise).
     """
     z = np.asarray(z_map, dtype=np.float64).reshape(-1)
     h = np.empty_like(z)
@@ -138,9 +147,37 @@ def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
         _, gm = u_and_grad(zm)
         h[i] = (np.asarray(gp_, dtype=np.float64)[i]
                 - np.asarray(gm, dtype=np.float64)[i]) / (2.0 * fd_h)
-    fallback = 1.0 if clip_max is None else float(clip_max)
-    im = np.where(h > floor, 1.0 / np.maximum(h, floor), fallback)
+    resolved = h > floor
+    if resolved.any():
+        fallback = float(1.0 / np.max(h[resolved]))
+    else:
+        fallback = 1.0 if clip_max is None else float(clip_max)
+    im = np.where(resolved, 1.0 / np.maximum(h, floor), fallback)
     return np.minimum(im, clip_max) if clip_max is not None else im
+
+
+def draws_inv_mass(z_draws, floor=1e-12):
+    """Diagonal inverse mass from a pilot run's draws.
+
+    z_draws: (..., dim) unconstrained draws (any leading shape — e.g.
+    the ``z`` field of a previous hmc_host_sample result, or rows
+    parsed from an MCMC_DRAWS_LOG file).  Returns the per-dimension
+    sample variance — the estimand the in-sampler Welford window
+    targets, but measured from actual posterior draws.
+
+    Measured motivation (16k GP hyperposterior, docs/TPU_NOTES.md
+    round 4): the posterior z-variances span [1e-5, 2.8e-4]; the
+    finite-difference curvature overestimated them 10-60x (mixed-
+    precision gradient noise) and PyMC-style additive regularisation
+    toward 1e-3 would inflate the tightest dimension ~24x — so this
+    estimator applies NO additive pull; correlated pilot draws
+    UNDERestimate variance, which is the safe direction (the step-size
+    search compensates upward, while an overestimated mass collapses
+    eps for every dimension at once — the measured crawl mode).
+    """
+    z = np.asarray(z_draws, dtype=np.float64)
+    z = z.reshape(-1, z.shape[-1])
+    return np.maximum(z.var(axis=0, ddof=1), floor)
 
 
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,

@@ -37,10 +37,18 @@ CHAINS = int(os.environ.get("MCMC_CHAINS", 1))  # >=2 enables ChEES
 #: accept collapse).  Or "gv,l1,l2,kv" comma floats (constrained).
 START = os.environ.get("MCMC_START", "")
 #: 1 = fix the mass matrix to the finite-difference curvature at the
-#: start point (host_hmc.map_diag_inv_mass; dim+1 extra launches) and
+#: start point (host_hmc.map_diag_inv_mass; 2*dim extra launches) and
 #: disable Welford adaptation — for MAP starts, where the Welford
-#: window is the measured budget-16 accept collapse.
+#: window is the measured budget-16 accept collapse.  NOTE: at 16k the
+#: mixed-precision gradient noise limits the FD curvature (measured
+#: 10-60x variance overestimates + one unresolvable dim); prefer
+#: MCMC_MASS from a pilot run's draws.
 HESS_MASS = int(os.environ.get("MCMC_HESS_MASS", "0"))
+#: comma-separated per-dim inv_mass (positional variances) — e.g. the
+#: empirical draw variances of a short pilot run (MCMC_DRAWS_LOG gives
+#: the draws; np.var over column 3: is the estimate).  Fixes the mass
+#: (adapt_mass=False).  Takes precedence over MCMC_HESS_MASS.
+MASS = os.environ.get("MCMC_MASS", "")
 JITTER = float(os.environ.get("MCMC_JITTER", "1.0"))
 
 
@@ -109,7 +117,10 @@ def main():
                         + " ".join(f"{v:.10g}" for v in z) + "\n")
 
     inv_mass0 = None
-    if HESS_MASS:
+    if MASS:
+        inv_mass0 = np.asarray([float(s) for s in MASS.split(",")])
+        print(f"pilot inv_mass: {inv_mass0}", flush=True)
+    elif HESS_MASS:
         inv_mass0 = host_hmc.map_diag_inv_mass(vg, z0)
         print(f"curvature inv_mass at start: {inv_mass0}", flush=True)
 

@@ -684,3 +684,46 @@ def test_sample_model_warm_start_curvature_mass(rng, monkeypatch):
     assert seen["inv_mass0"] is not None
     assert seen["adapt_mass"] is False
     assert np.all(np.isfinite(seen["inv_mass0"]))
+
+
+def test_hmc_host_pilot_mass(rng):
+    """draws_inv_mass: per-dim variance from pilot draws, no additive
+    regularisation (the 16k kv-dim's 1e-5 variance would be inflated
+    ~24x by a PyMC-style 1e-3 pull — the measured crawl mode), and a
+    fixed pilot mass samples the ill-scaled Gaussian correctly."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([0.03, 1.0, 4.0])
+    draws = rng.normal(size=(2, 500, 3)) * scales
+    im = host_hmc.draws_inv_mass(draws)
+    np.testing.assert_allclose(im, scales ** 2, rtol=0.2)
+
+    def u_vg(z):
+        z = np.asarray(z)
+        return (0.5 * float(np.sum((z / scales) ** 2)),
+                z / scales ** 2)
+
+    res = host_hmc.hmc_host_sample(
+        u_vg, np.zeros(3), num_warmup=40, num_samples=800,
+        num_chains=2, budget=16, seed=7, jitter_init=0.05,
+        inv_mass0=im, adapt_mass=False)
+    z = res["z"].reshape(-1, 3)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
+    assert res["accept"].mean() > 0.5
+
+
+def test_curvature_mass_fallback_smallest():
+    """An unresolvable (noise-negative) curvature direction falls back
+    to the SMALLEST resolved inv_mass, not unit mass — one oversized
+    axis collapses eps for every dimension (the measured 16k crawl)."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    hdiag = np.asarray([400.0, 25.0, -1.0])  # dim 2 unresolvable
+
+    def u_vg(z):
+        z = np.asarray(z)
+        return 0.5 * float(np.sum(hdiag * z * z)), hdiag * z
+
+    im = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3))
+    np.testing.assert_allclose(im[:2], [1 / 400.0, 1 / 25.0], rtol=1e-6)
+    assert im[2] == pytest.approx(1 / 400.0)
