@@ -103,7 +103,7 @@ class _ChainState:
 
 
 def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
-                      clip_max=1.0):
+                      clip_max=1.0, rel_tol=1e-5):
     """Diagonal inverse mass from the curvature at a MAP point.
 
     At the posterior mode the covariance is ~H^-1 (H = grad^2 U, U the
@@ -131,6 +131,14 @@ def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
     axis collapses eps for every dimension at once — a unit fallback
     next to a 1e-5-variance dim was the measured 16k crawl mode); with
     no resolved dimension at all, to clip_max (or 1.0).
+    rel_tol: "resolved" is RELATIVE — h_i > rel_tol * max(h) — not just
+    sign-positive: the FD gradient noise that flips a dead direction
+    negative equally often leaves it barely POSITIVE, and 1/h of a
+    noise-sized positive clips to clip_max (the same crawl mode the
+    smallest-resolved fallback exists to prevent).  1e-5 admits a 1e5
+    curvature span (the GP hyperparameter menu's measured posterior
+    variance span is ~1e2) while routing noise-scale survivors to the
+    fallback.
 
     NOTE: when pilot draws are available, draws_inv_mass beats this
     estimator — at 16k the FD curvature overestimated the posterior
@@ -147,7 +155,7 @@ def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
         _, gm = u_and_grad(zm)
         h[i] = (np.asarray(gp_, dtype=np.float64)[i]
                 - np.asarray(gm, dtype=np.float64)[i]) / (2.0 * fd_h)
-    resolved = h > floor
+    resolved = h > max(floor, rel_tol * float(h.max(initial=0.0)))
     if resolved.any():
         fallback = float(1.0 / np.max(h[resolved]))
     else:
@@ -180,11 +188,217 @@ def draws_inv_mass(z_draws, floor=1e-12):
     return np.maximum(z.var(axis=0, ddof=1), floor)
 
 
+def _find_reasonable_eps_batched(eval_vec, Z, us, grads, IM, rng,
+                                 eps0=1.0, max_doublings=30):
+    """Lockstep reasonable-epsilon search for C chains: each probe is
+    ONE batched launch; every chain doubles/halves its own eps until
+    its one-leapfrog acceptance crosses 1/2 (finished chains ride
+    along as wasted lanes — the search is <= ~15 probes total vs one
+    launch per probe PER CHAIN serially)."""
+    C, dim = Z.shape
+    R = rng.standard_normal((C, dim)) / np.sqrt(IM)
+    h0 = us + 0.5 * np.sum(R * IM * R, axis=1)
+    log2 = float(np.log(2.0))
+
+    def probe(eps):
+        Rh = R - 0.5 * eps[:, None] * grads
+        Zp = Z + eps[:, None] * IM * Rh
+        up_, gp_ = eval_vec(Zp)
+        Rh = Rh - 0.5 * eps[:, None] * gp_
+        dh = np.where(np.isfinite(up_),
+                      up_ + 0.5 * np.sum(Rh * IM * Rh, axis=1) - h0,
+                      np.inf)
+        return dh
+
+    eps = np.full(C, float(eps0))
+    done = np.zeros(C, dtype=bool)
+    dh = probe(eps)
+    up = dh < log2
+    for _ in range(max_doublings):
+        eps = np.where(done, eps, eps * np.where(up, 2.0, 0.5))
+        dh = probe(eps)
+        newly_up = up & ~done & (dh >= log2)
+        eps = np.where(newly_up, eps * 0.5, eps)
+        newly_dn = ~up & ~done & (dh < log2)
+        done = done | newly_up | newly_dn
+        if done.all():
+            break
+    return eps
+
+
+def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
+                      num_chains, target_accept, budget, eps0,
+                      jitter_init, seed, max_delta_h, chees, callback,
+                      on_draw, inv_mass0, adapt_mass):
+    """Lockstep-batched transitions: all chains share each
+    transition's trajectory length (the ChEES-HMC convention) and ONE
+    vmapped value+grad launch advances every chain a leapfrog.  At 16k
+    this amortises the per-launch dispatch AND replaces C sequential
+    1.4 s evals with one batched launch per leapfrog — the only
+    multi-chain route on a platform where compiled transition programs
+    fault (docs/TPU_NOTES.md round 3).  A lane that turns non-finite
+    mid-trajectory freezes at its last finite state (divergence) while
+    the other chains integrate on.  The Welford mass window is POOLED
+    across chains (C x the draws per window — the serial sampler's
+    correlated short window was the measured 16k accept collapse).
+    """
+    rng = np.random.default_rng(seed)
+    z0 = np.asarray(z0, dtype=np.float64).reshape(-1)
+    dim = z0.shape[0]
+    C = num_chains
+    apply_at = max(1, int(0.6 * num_warmup))
+
+    def eval_vec(Z):
+        us, gs = vec_eval(Z)
+        return (np.asarray(us, dtype=np.float64),
+                np.asarray(gs, dtype=np.float64))
+
+    zs = np.empty((C, num_samples, dim))
+    lps = np.empty((C, num_samples))
+    divs = np.zeros((C, num_samples), dtype=bool)
+    accs = np.empty((C, num_samples))
+    depths = np.empty((C, num_samples), dtype=np.int64)
+    eps_out = np.empty((C, num_samples))
+
+    IM = np.broadcast_to(
+        np.ones(dim) if inv_mass0 is None
+        else np.asarray(inv_mass0, dtype=np.float64).reshape(-1),
+        (C, dim)).copy()
+    Z = z0[None, :] + rng.uniform(-jitter_init, jitter_init,
+                                  size=(C, dim))
+    U, G = eval_vec(Z)
+    eps_init = (np.full(C, float(eps0)) if eps0 is not None
+                else _find_reasonable_eps_batched(eval_vec, Z, U, G,
+                                                  IM, rng))
+    adams = [_AdamEps(float(e)) for e in eps_init]
+    # pooled Welford (all chains' positions feed one window)
+    w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
+
+    log_nmean = float(np.log(max(budget / 4.0, 2.0)))
+    adm = adv = adc = 0.0
+    zb_n, zb_mean = 0, np.zeros(dim)
+    grace = 0
+    grace_len = min(20, max(2, apply_at // 3))
+
+    for t in range(num_warmup + num_samples):
+        warm = t < num_warmup
+        eps = np.asarray([a.eps for a in adams])
+        if chees:
+            u_draw = float(rng.uniform())
+            ln_draw = min(log_nmean, np.log(budget / 2.0))
+            ns = int(np.ceil(2.0 * np.exp(ln_draw)
+                             * max(u_draw, 1e-12)))
+            nleap = int(np.clip(ns, min(4, budget), budget))
+        else:
+            u_draw = 0.0
+            nleap = int(rng.integers(1, budget + 1))
+        R = rng.standard_normal((C, dim)) / np.sqrt(IM)
+        h0 = U + 0.5 * np.sum(R * IM * R, axis=1)
+        Z_start = Z.copy()
+        Zn, Un, Gn, Rn = Z.copy(), U.copy(), G.copy(), R.copy()
+        alive = np.ones(C, dtype=bool)
+        for _ in range(nleap):
+            Rh = Rn - 0.5 * eps[:, None] * Gn
+            Zp = np.where(alive[:, None],
+                          Zn + eps[:, None] * IM * Rh, Zn)
+            up_, gp_ = eval_vec(Zp)
+            ok = alive & np.isfinite(up_)
+            Rh = Rh - 0.5 * eps[:, None] * gp_
+            Zn = np.where(ok[:, None], Zp, Zn)
+            Un = np.where(ok, up_, Un)
+            Gn = np.where(ok[:, None], gp_, Gn)
+            Rn = np.where(ok[:, None], Rh, Rn)
+            alive = ok
+            if not alive.any():
+                break
+        h1 = Un + 0.5 * np.sum(Rn * IM * Rn, axis=1)
+        dh = np.where(alive, h1 - h0, np.inf)
+        diverged = ~alive | (dh > max_delta_h)
+        accept_prob = np.where(dh <= 0.0, 1.0,
+                               np.exp(-np.minimum(dh, 700.0)))
+        accept_prob = np.where(np.isfinite(dh), accept_prob, 0.0)
+        accepted = ~diverged & (rng.uniform(size=C) < accept_prob)
+        Z = np.where(accepted[:, None], Zn, Z)
+        U = np.where(accepted, Un, U)
+        G = np.where(accepted[:, None], Gn, G)
+
+        if warm:
+            for c in range(C):
+                adams[c].update(float(accept_prob[c]), target_accept)
+                w_n += 1
+                delta = Z[c] - w_mean
+                w_mean = w_mean + delta / w_n
+                w_m2 = w_m2 + delta * (Z[c] - w_mean)
+                zb_n += 1
+                zb_mean = zb_mean + (Z[c] - zb_mean) / zb_n
+                if (chees and not diverged[c]
+                        and t > grace + grace_len):
+                    d1 = Zn[c] - zb_mean
+                    d0 = Z_start[c] - zb_mean
+                    v1 = IM[c] * Rn[c]
+                    dCdt = ((np.dot(d1, d1) - np.dot(d0, d0))
+                            * np.dot(d1, v1))
+                    g = (dCdt * u_draw * float(accept_prob[c])
+                         * np.exp(log_nmean) * float(eps[c]))
+                    if np.isfinite(g):
+                        b1, b2, lr = 0.9, 0.999, 0.025
+                        adc += 1.0
+                        adm = b1 * adm + (1.0 - b1) * g
+                        adv = b2 * adv + (1.0 - b2) * g * g
+                        mhat = adm / (1.0 - b1 ** adc)
+                        vhat = adv / (1.0 - b2 ** adc)
+                        log_nmean = float(np.clip(
+                            log_nmean
+                            + lr * mhat / (np.sqrt(vhat) + 1e-10),
+                            np.log(2.0), np.log(float(budget))))
+            if adapt_mass and t + 1 == apply_at and w_n > 10:
+                var = w_m2 / max(w_n - 1, 1)
+                var = (w_n / (w_n + 5.0)) * var + 1e-3 * (
+                    5.0 / (w_n + 5.0))
+                IM = np.broadcast_to(var, (C, dim)).copy()
+                w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)
+                eps_new = (np.full(C, float(eps0))
+                           if eps0 is not None
+                           else _find_reasonable_eps_batched(
+                               eval_vec, Z, U, G, IM, rng))
+                adams = [_AdamEps(float(e)) for e in eps_new]
+                if num_warmup - apply_at >= 40:
+                    log_nmean = float(np.log(max(budget / 4.0, 2.0)))
+                adm = adv = adc = 0.0
+                zb_n, zb_mean = 0, np.zeros(dim)
+                grace = t
+                grace_len = min(20, max(
+                    2, (num_warmup - apply_at) // 3))
+        else:
+            i = t - num_warmup
+            for c in range(C):
+                zs[c, i] = Z[c]
+                lps[c, i] = -U[c]
+                divs[c, i] = diverged[c]
+                accs[c, i] = accept_prob[c]
+                depths[c, i] = nleap
+                eps_out[c, i] = eps[c]
+                if on_draw is not None:
+                    on_draw(c, i, Z[c], -U[c])
+        if callback is not None:
+            callback(-1, t, "warmup" if warm else "sample")
+
+    return {
+        "z": zs,
+        "lp": lps,
+        "diverging": divs,
+        "accept": accs,
+        "depth": depths,
+        "eps": eps_out,
+    }
+
+
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     num_chains=1, target_accept=0.8, budget=16,
                     eps0=None, jitter_init=1.0, seed=0,
                     max_delta_h=1000.0, adapt_tlen=None, callback=None,
-                    on_draw=None, inv_mass0=None, adapt_mass=True):
+                    on_draw=None, inv_mass0=None, adapt_mass=True,
+                    vec_eval=None):
     """Jittered-trajectory HMC with a host-side integrator.
 
     u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
@@ -218,6 +432,15 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     the whole run (no Welford apply, no mid-warmup eps re-search) —
     the right setting when the curvature mass is trusted and warmup is
     short.
+    vec_eval: optional batched objective Zs (chains, dim) ->
+    (Us (chains,), grads (chains, dim)) — e.g.
+    jax.jit(jax.vmap(jax.value_and_grad(nlp))).  With >= 2 chains the
+    sampler then advances ALL chains in lockstep, one batched launch
+    per leapfrog (shared per-transition trajectory length, the
+    ChEES-HMC convention; per-chain step sizes; pooled Welford mass
+    window).  The multi-chain route at 16k, where compiled transition
+    programs fault and serial chains cost C x the launches.  The
+    ChEES auto-gate then sees the true chain count (>= 2).
 
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
     diverging, accept, depth (actual leapfrog count per transition),
@@ -238,6 +461,15 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
         chees = num_chains >= 2 and num_warmup >= 100 and budget >= 16
     else:
         chees = bool(adapt_tlen) and num_chains >= 2
+    if vec_eval is not None and num_chains >= 2:
+        return _hmc_host_batched(
+            vec_eval, z0, num_warmup=num_warmup,
+            num_samples=num_samples, num_chains=num_chains,
+            target_accept=target_accept, budget=budget, eps0=eps0,
+            jitter_init=jitter_init, seed=seed,
+            max_delta_h=max_delta_h, chees=chees, callback=callback,
+            on_draw=on_draw, inv_mass0=inv_mass0,
+            adapt_mass=adapt_mass)
 
     def eval_ug(z):
         u, g = u_and_grad(z)

@@ -1150,7 +1150,7 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
 
     curvature_mass: for 'hmc_host' with a warm z0 (a MAP point): fix
     the mass matrix to the finite-difference curvature at z0
-    (host_hmc.map_diag_inv_mass, dim+1 extra launches) and skip Welford
+    (host_hmc.map_diag_inv_mass, 2*dim extra launches) and skip Welford
     adaptation — the short-warmup Welford window was the measured 16k
     budget-16 accept collapse (0.08, docs/TPU_NOTES.md round 4).
     Ignored by the compiled samplers."""
@@ -1167,6 +1167,8 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     if z0 is None:
         z0 = rvpack.z0()
     if sampler == "hmc_host":
+        import os
+
         from . import host_hmc
 
         u_vg = jax.jit(jax.value_and_grad(neg_log_post))
@@ -1174,13 +1176,27 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
         def host_fn(z):
             return u_vg(jnp.asarray(z))
 
+        vec_fn = None
+        if chains >= 2 and os.environ.get(
+                "ANDVARANAUT_MCMC_VEC", "1") != "0":
+            # one vmapped launch advances ALL chains a leapfrog —
+            # the lockstep multi-chain route (host_hmc vec_eval);
+            # ANDVARANAUT_MCMC_VEC=0 falls back to serial chains
+            # (e.g. if the batched program exceeds HBM at large n)
+            vec_vg = jax.jit(jax.vmap(jax.value_and_grad(
+                neg_log_post)))
+
+            def vec_fn(Z):
+                return vec_vg(jnp.asarray(Z))
+
         im0 = (host_hmc.map_diag_inv_mass(host_fn, np.asarray(z0))
                if curvature_mass else None)
         res = host_hmc.hmc_host_sample(
             host_fn, z0, num_warmup=tune,
             num_samples=draws, num_chains=chains,
             target_accept=target_accept, budget=2 ** max_treedepth,
-            seed=random_seed, inv_mass0=im0, adapt_mass=im0 is None)
+            seed=random_seed, inv_mass0=im0, adapt_mass=im0 is None,
+            vec_eval=vec_fn)
     else:
         res = nuts_sample(
             logp, z0, key=jax.random.PRNGKey(random_seed),

@@ -101,6 +101,28 @@ def main():
         nevals[0] += 1
         return u, g
 
+    # lockstep batched chains: ONE vmapped launch per leapfrog
+    # (host_hmc vec_eval).  MCMC_VEC=0 falls back to serial chains.
+    vec_fn = None
+    if CHAINS >= 2 and os.environ.get("MCMC_VEC", "1") != "0":
+        vec_vg = jax.jit(jax.vmap(jax.value_and_grad(nlp)))
+
+        def vec_fn(Z):
+            t = time.time()
+            us, gs = vec_vg(jnp.asarray(Z))
+            us = np.asarray(us)
+            gs = np.asarray(gs)
+            t_evals[0] += time.time() - t
+            nevals[0] += 1
+            return us, gs
+
+        t0 = time.time()
+        us0, _ = vec_fn(np.broadcast_to(z0, (CHAINS, z0.size)).copy())
+        nevals[0] = 0
+        t_evals[0] = 0.0
+        print(f"batched C={CHAINS} compile+first eval "
+              f"{time.time() - t0:.1f}s, U0={us0[0]:.2f}", flush=True)
+
     def progress(c, t, phase):
         print(f"chain {c} transition {t} ({phase}), "
               f"{nevals[0]} evals, {t_evals[0]:.0f}s eval time",
@@ -129,16 +151,18 @@ def main():
         vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=CHAINS,
         budget=BUDGET, seed=0, callback=progress, on_draw=dump,
         jitter_init=JITTER, inv_mass0=inv_mass0,
-        adapt_mass=not HESS_MASS)
+        adapt_mass=inv_mass0 is None, vec_eval=vec_fn)
     wall = time.time() - t0
     lp = res["lp"][0]
+    kind = "batched launches" if vec_fn is not None else "evals"
     print(f"16k host-HMC: {CHAINS} chain(s) x {TUNE}+{DRAWS} "
           f"transitions, budget {BUDGET}, "
-          f"{wall:.1f}s sampling wall, {nevals[0]} evals "
-          f"({t_evals[0] / max(nevals[0], 1):.2f}s/eval), "
+          f"{wall:.1f}s sampling wall, {nevals[0]} {kind} "
+          f"({t_evals[0] / max(nevals[0], 1):.2f}s each), "
           f"accept {res['accept'].mean():.2f}, "
           f"{int(res['diverging'].sum())} divergences", flush=True)
-    print("lp draws:", np.array2string(lp, precision=2), flush=True)
+    print("lp draws (chain 0):", np.array2string(lp, precision=2),
+          flush=True)
     means = {k: np.asarray(v).mean(axis=(0, 1))
              for k, v in _posterior(rvpack, res).items()}
     print("posterior means:", means, flush=True)
@@ -148,9 +172,13 @@ def main():
         z = res["z"]  # (chains, draws, dim)
         ess = np.asarray([float(nuts.ess_bulk(z[..., i]))
                           for i in range(z.shape[-1])])
-        print(f"min ESS {ess.min():.1f} of {DRAWS} draws "
+        print(f"min ESS {ess.min():.1f} of {CHAINS}x{DRAWS} draws "
               f"({ess.min() / wall:.4f} ESS/s sampling wall)",
               flush=True)
+        if CHAINS >= 2:
+            rh = np.asarray([float(nuts.split_rhat(z[..., i]))
+                             for i in range(z.shape[-1])])
+            print(f"max split-rhat {rh.max():.4f}", flush=True)
 
 
 def _posterior(rvpack, res):

@@ -727,3 +727,185 @@ def test_curvature_mass_fallback_smallest():
     im = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3))
     np.testing.assert_allclose(im[:2], [1 / 400.0, 1 / 25.0], rtol=1e-6)
     assert im[2] == pytest.approx(1 / 400.0)
+
+
+def test_curvature_mass_relative_resolution():
+    """A barely-POSITIVE noise-scale curvature (h ~ 1e-9 next to 400)
+    also takes the smallest-resolved fallback — 1/h would clip to
+    clip_max and reproduce the documented unit-mass crawl; only
+    h > rel_tol * max(h) counts as resolved."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    hdiag = np.asarray([400.0, 25.0, 1e-9])  # dim 2 noise-positive
+
+    def u_vg(z):
+        z = np.asarray(z)
+        return 0.5 * float(np.sum(hdiag * z * z)), hdiag * z
+
+    im = host_hmc.map_diag_inv_mass(u_vg, np.zeros(3))
+    np.testing.assert_allclose(im[:2], [1 / 400.0, 1 / 25.0], rtol=1e-6)
+    assert im[2] == pytest.approx(1 / 400.0)
+    # a legitimate wide-but-real span (1e4 curvature ratio) stays fully
+    # resolved under the default rel_tol
+    hdiag2 = np.asarray([400.0, 1.0, 0.04])
+
+    def u_vg2(z):
+        z = np.asarray(z)
+        return 0.5 * float(np.sum(hdiag2 * z * z)), hdiag2 * z
+
+    im2 = host_hmc.map_diag_inv_mass(u_vg2, np.zeros(3), clip_max=None)
+    np.testing.assert_allclose(im2, 1.0 / hdiag2, rtol=1e-6)
+
+
+def _batched_gaussian(scales):
+    scales = np.asarray(scales)
+
+    def vec_eval(Z):
+        Z = np.asarray(Z)
+        return (0.5 * np.sum((Z / scales) ** 2, axis=1),
+                Z / scales ** 2)
+
+    return vec_eval
+
+
+def test_hmc_host_batched_std_normal():
+    """vec_eval lockstep batching: every objective call carries ALL
+    chains (one launch per leapfrog total, not per chain), and the
+    batched sampler recovers a standard normal across 4 chains."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    dim, C = 3, 4
+    calls = {"n": 0, "shapes": set()}
+    base = _batched_gaussian(np.ones(dim))
+
+    def vec_eval(Z):
+        calls["n"] += 1
+        calls["shapes"].add(np.asarray(Z).shape)
+        return base(Z)
+
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(dim), num_warmup=400, num_samples=600,
+        num_chains=C, budget=16, seed=3, vec_eval=vec_eval)
+    z = res["z"]
+    assert z.shape == (C, 600, dim)
+    assert calls["shapes"] == {(C, dim)}
+    # one batched launch per leapfrog: <= (warmup+draws)*budget plus
+    # init + eps searches — far below the serial C x count
+    assert calls["n"] <= (400 + 600) * 16 * 0.75
+    assert abs(z.mean()) < 0.12
+    np.testing.assert_allclose(z.reshape(-1, dim).std(axis=0),
+                               np.ones(dim), atol=0.15)
+    assert res["diverging"].mean() < 0.02
+    assert 0.5 < res["accept"].mean() <= 1.0
+
+
+def test_hmc_host_batched_pooled_welford_mass():
+    """The batched sampler's POOLED Welford window whitens an
+    ill-scaled Gaussian (C chains feed one mass estimate)."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([0.05, 1.0, 5.0])
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(3), num_warmup=600, num_samples=900,
+        num_chains=4, budget=16, seed=4,
+        vec_eval=_batched_gaussian(scales))
+    z = res["z"].reshape(-1, 3)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
+
+
+def test_hmc_host_batched_fixed_pilot_mass():
+    """Batched chains + fixed pilot mass (adapt_mass=False): the 16k
+    production configuration — no Welford apply, no mid-warmup eps
+    re-search, short warmup suffices."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([0.03, 1.0, 4.0])
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(3), num_warmup=40, num_samples=800,
+        num_chains=4, budget=16, seed=7, jitter_init=0.05,
+        inv_mass0=scales ** 2, adapt_mass=False,
+        vec_eval=_batched_gaussian(scales))
+    z = res["z"].reshape(-1, 3)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
+    assert res["accept"].mean() > 0.5
+
+
+def test_hmc_host_batched_divergence_freeze():
+    """A lane that turns non-finite mid-trajectory freezes at its last
+    finite state and is recorded as diverging; the OTHER chains keep
+    integrating (no crash, finite draws everywhere)."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    def vec_eval(Z):
+        Z = np.asarray(Z)
+        u = 0.5 * np.sum(Z * Z, axis=1)
+        # a hard wall: any |z0| > 1.5 is outside the support
+        u = np.where(np.abs(Z[:, 0]) > 1.5, np.inf, u)
+        return u, Z
+
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(2), num_warmup=100, num_samples=300,
+        num_chains=4, budget=8, seed=11, jitter_init=0.2,
+        vec_eval=vec_eval)
+    assert np.isfinite(res["z"]).all()
+    assert np.isfinite(res["lp"]).all()
+    assert (np.abs(res["z"][..., 0]) <= 1.5).all()
+
+
+def test_hmc_host_batched_chees(rng):
+    """ChEES trajectory adaptation engages for batched chains (the
+    auto-gate sees >= 2 chains) and stays bounded: learned mean
+    trajectory within the budget, posterior still correct."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([1.0, 2.0])
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(2), num_warmup=200, num_samples=600,
+        num_chains=4, budget=16, seed=5, adapt_tlen=True,
+        vec_eval=_batched_gaussian(scales))
+    z = res["z"].reshape(-1, 2)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.25)
+    assert res["depth"].max() <= 16
+    assert res["depth"].min() >= 1
+    # ChEES draws are shared across chains within a transition
+    assert (res["depth"][0] == res["depth"][1]).all()
+
+
+def test_hmc_host_batched_gp_posterior(rng):
+    """Batched host HMC on a REAL GP hyperposterior (the vmapped mixed
+    value+grad — the exact 16k production program class) agrees with
+    the serial host sampler's posterior."""
+    from andvaranaut_tpu.gp import bigfit
+    from andvaranaut_tpu.inference import host_hmc
+
+    n, nx = 64, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.01 * rng.normal(size=n)
+    rvpack, nlp = bigfit.make_mixed_objective(
+        jnp.asarray(X), jnp.asarray(y), kerns=("RBF",), noise=True,
+        jitter=1e-6, block=64)
+    u_vg = jax.jit(jax.value_and_grad(nlp))
+    vec_vg = jax.jit(jax.vmap(jax.value_and_grad(nlp)))
+
+    def serial(z):
+        u, g = u_vg(jnp.asarray(z))
+        return float(u), np.asarray(g)
+
+    def batched(Z):
+        us, gs = vec_vg(jnp.asarray(Z))
+        return np.asarray(us), np.asarray(gs)
+
+    res_b = host_hmc.hmc_host_sample(
+        None, np.asarray(rvpack.z0()), num_warmup=150,
+        num_samples=150, num_chains=4, budget=8, seed=2,
+        vec_eval=batched)
+    res_s = host_hmc.hmc_host_sample(
+        serial, np.asarray(rvpack.z0()), num_warmup=150,
+        num_samples=300, num_chains=1, budget=8, seed=3)
+    zb = res_b["z"].reshape(-1, res_b["z"].shape[-1])
+    zs_ = res_s["z"].reshape(-1, res_s["z"].shape[-1])
+    assert np.isfinite(res_b["lp"]).all()
+    # same posterior bulk: means within a std of each other
+    std = zs_.std(axis=0) + 1e-9
+    assert np.all(np.abs(zb.mean(axis=0) - zs_.mean(axis=0))
+                  < 1.2 * std + 0.3)
