@@ -577,6 +577,260 @@ def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
     return rvpack, neg_log_post, value_and_grad
 
 
+def make_sharded_warped_objective(mesh: Mesh, cfg, block: int = 256,
+                                  grad_block: int = 2048,
+                                  mixed: bool = True, axis: str = "data"):
+    """(rvpack, neg_log_post, value_and_grad) for iwgp/cwgp FitConfigs
+    with the closed-form gradient pipeline distributed over the mesh —
+    the multi-chip analogue of bigfit.make_warped_vg (reference warped
+    fit: gpmcmc.py:211-277, which has NO N-scaling escape hatch at
+    all).
+
+    The O(N^2)/O(N^3) stages are row-sharded exactly as
+    make_sharded_mixed_objective (same _dist_factor / L^-1 broadcast
+    pipeline / K^-1 reduce-scatter); the warping layers bolt on top:
+
+    - x~(z), y~(z) and the log|J| term are ELEMENTWISE over the n-row
+      dataset — O(N nx) work, computed replicated on every device from
+      the closed-over raw data (the warp evaluation is ~1e-5 of one
+      factorisation step; sharding it would add collectives for
+      nothing).  Each device slices its own row block.
+    - iwgp gradients flow through the per-column-block Gram jvp: the
+      warped inputs are rebuilt INSIDE the checkpointed contraction
+      h(zz), so d(Gram)/d(warp params) rides the same scan as the
+      kernel hyperparameters (bigfit.make_warped_vg's route, here with
+      the (m, gb) local W block).
+    - cwgp gradients need no factorisation: d/dp of
+      (-1/2 y~'K^-1 y~ + log|J|) = (-a' dy~/dp + dlog|J|/dp) with
+      a = K^-1 y~ stopped — one reverse-AD pass over n-vectors,
+      computed replicated (every device holds the replicated alpha).
+    """
+    from . import bigfit, engine, precision  # noqa: F401
+    import andvaranaut_tpu.transform as tf
+
+    D = mesh.shape[axis]
+    rvpack = engine.build_rvs(cfg)
+    n0, nx = cfg.x.shape
+    y1 = jnp.asarray(np.asarray(cfg.y[:, 0]), jnp.float64)
+    kerns_ = tuple(cfg.kerns)
+    ops_ = tuple(cfg.ops)
+    noise = cfg.noise
+    jitter = float(cfg.jitter)
+    has_alpha = "RatQuad" in kerns_
+
+    if not cfg.iwgp:
+        xin_fixed = np.zeros((n0, nx))
+        for i in range(nx):
+            xin_fixed[:, i] = np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
+        xin_fixed = jnp.asarray(xin_fixed)
+        fixed_cols = None
+    else:
+        xin_fixed = None
+        fixed_cols = {
+            i: jnp.asarray(np.asarray(cr.con(cfg.x[:, i])))
+            for i, cr in enumerate(cfg.xconrevs)
+            if not isinstance(cr, tf.wgp)
+        }
+    if not cfg.cwgp:
+        yin_fixed = jnp.asarray(np.asarray(cfg.yconrevs[0].con(y1)))
+    pos_mask = (
+        np.asarray(cfg.yconrevs[0].pos) if cfg.cwgp else None)
+
+    def xin_of(vals):
+        if cfg.iwgp:
+            return engine._iwgp_xin(cfg, vals, fixed_cols)
+        return xin_fixed
+
+    def yin_ldj_of(vals):
+        if cfg.cwgp:
+            params = engine.interleave_cwgp(vals, pos_mask)
+            warper = tf.wgp(
+                cfg.yconrevs[0].warping_names, params, y=y1)
+            return warper.con(y1), jnp.sum(jnp.log(warper.der(y1)))
+        return yin_fixed, jnp.asarray(0.0)
+
+    npad = -(-n0 // D) * D
+    m = npad // D
+    n = npad
+    gb = min(grad_block, n)
+    while n % gb:
+        gb //= 2
+    nblocks = n // gb
+
+    mm, chol_inv = _mixed_ops(block) if mixed else _exact_ops()
+
+    def _spmd_value_grad(z):
+        d = jax.lax.axis_index(axis)
+        vals = rvpack.unpack(z)
+        gv = vals["gv"][0] if noise else jnp.asarray(0.0, z.dtype)
+        l = vals["l"]
+        kv = vals["kv"]
+        al = vals["alpha"][0] if has_alpha else None
+        xin_full = jnp.pad(xin_of(vals), ((0, npad - n0), (0, 0)))
+        yin, ldj = yin_ldj_of(vals)
+        yin_p = jnp.pad(yin, (0, npad - n0))
+        grow = d * m + jnp.arange(m)
+        gcol = jnp.arange(n)
+        X_loc = jax.lax.dynamic_slice(
+            xin_full, (d * m, jnp.int32(0)), (m, nx))
+
+        def gram_rows(xr, xc, grow_, gcol_, gv_, l_, kv_, al_):
+            K = kernels.gram(kerns_, ops_, xr, xc, l_, kv_, al_)
+            real = (grow_ < n0)[:, None] & (gcol_ < n0)[None, :]
+            K = jnp.where(real, K, 0.0)
+            diag = (grow_[:, None] == gcol_[None, :]).astype(K.dtype)
+            return K + diag * jnp.where(
+                (grow_ < n0)[:, None], jitter + gv_, 1.0)
+
+        K_loc = gram_rows(X_loc, xin_full, grow, gcol, gv, l, kv, al)
+        y_loc = jnp.where(
+            grow < n0,
+            jax.lax.dynamic_slice(yin_p, (d * m,), (m,)), 0.0)
+
+        L_loc, Linvs, beta, quad, logdet = _dist_factor(
+            K_loc, y_loc, d, D, axis, mm, chol_inv)
+        logl = -0.5 * quad - logdet - 0.5 * n0 * _LOG_2PI + ldj
+
+        alpha_vec = _dist_solve_upper_vec(L_loc, Linvs, beta, d, D, axis)
+
+        S = jnp.zeros((m, n), K_loc.dtype)
+        B_loc = jnp.zeros((m, n), K_loc.dtype)
+        col = jnp.arange(n)
+        for k in range(D):
+            lo = k * m
+            Ek = (col[None, :] == (lo + jnp.arange(m))[:, None]).astype(
+                K_loc.dtype)
+            Sk = jax.lax.psum(jnp.where(d == k, S, 0.0), axis)
+            Bk = mm(Linvs[k], Ek - Sk)
+            B_loc = jnp.where(d == k, Bk, B_loc)
+            if k + 1 < D:
+                S = S + jnp.where(d > k, 1.0, 0.0) * mm(
+                    L_loc[:, lo:lo + m], Bk)
+
+        prods = jnp.stack(
+            [mm(B_loc[:, c * m:(c + 1) * m].T, B_loc) for c in range(D)])
+        Kinv_loc = jax.lax.psum_scatter(
+            prods, axis, scatter_dimension=0, tiled=False)
+
+        a_loc = jax.lax.stop_gradient(
+            jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,)))
+        a_full = jax.lax.stop_gradient(alpha_vec)
+        Kinv_c = jax.lax.stop_gradient(Kinv_loc)
+        real_row = (grow < n0)
+
+        def block_term(carry, s):
+            aB = jax.lax.dynamic_slice(a_full, (s,), (gb,))
+            KinvB = jax.lax.dynamic_slice(Kinv_c, (0, s), (m, gb))
+            gcolB = s + jnp.arange(gb)
+            WB = jnp.where(
+                real_row[:, None] & (gcolB < n0)[None, :],
+                0.5 * (a_loc[:, None] * aB[None, :] - KinvB), 0.0)
+
+            @jax.checkpoint
+            def h(zz):
+                # warped inputs rebuilt inside the checkpoint: iwgp
+                # gradients flow through the elementwise Gram jvp
+                vz = rvpack.unpack(zz)
+                gv_ = (vz["gv"][0] if noise
+                       else jnp.asarray(0.0, zz.dtype))
+                az = vz["alpha"][0] if has_alpha else None
+                xz = jnp.pad(xin_of(vz), ((0, npad - n0), (0, 0)))
+                xr = jax.lax.dynamic_slice(
+                    xz, (d * m, jnp.int32(0)), (m, nx))
+                xc = jax.lax.dynamic_slice(xz, (s, 0), (gb, nx))
+                return jnp.sum(WB * gram_rows(
+                    xr, xc, grow, gcolB, gv_, vz["l"], vz["kv"], az))
+
+            return carry + jax.grad(h)(z), None
+
+        starts = jnp.arange(nblocks) * gb
+        g_loc, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
+        gK = jax.lax.psum(g_loc, axis)
+
+        if cfg.cwgp:
+            a_real = a_full[:n0]
+
+            def warp_terms(zz):
+                vz = rvpack.unpack(zz)
+                yz, ldjz = yin_ldj_of(vz)
+                return -jnp.dot(a_real, yz) + ldjz
+
+            gW = jax.grad(warp_terms)(z)  # replicated-redundant, O(n)
+        else:
+            gW = jnp.zeros_like(z)
+        return logl, gK + gW
+
+    # check_vma=False: same scan-carry replication-tracker caveat as
+    # make_sharded_mixed_objective above
+    spmd = jax.jit(jax.shard_map(
+        _spmd_value_grad, mesh=mesh, in_specs=(P(),),
+        out_specs=(P(), P()), check_vma=False))
+
+    def value_and_grad(z):
+        """(logl incl. the log|J| warp term, dlogl/dz), replicated."""
+        return spmd(z)
+
+    @jax.custom_vjp
+    def logl_fn(z):
+        return value_and_grad(z)[0]
+
+    def fwd(z):
+        return value_and_grad(z)
+
+    def bwd(grad, ct):
+        return (ct * grad,)
+
+    logl_fn.defvjp(fwd, bwd)
+
+    def neg_log_post(z):
+        return -(logl_fn(z) + rvpack.log_prior(z))
+
+    return rvpack, neg_log_post, value_and_grad
+
+
+def sharded_big_warped_map_fit(cfg, block: int = 256, maxiter: int = 50,
+                               start=None, mesh: Mesh | None = None,
+                               mixed: bool = True, verbose: bool = False,
+                               grad_block: int = 2048):
+    """MAP fit with learnable warpings distributed over the mesh
+    (make_sharded_warped_objective): host L-BFGS-B, reference
+    hyperprior + warp-prior menu.  Returns (hypers, log posterior) —
+    the multi-chip route GPMCMC.fit(precision='distributed',
+    iwgp/cwgp=True) takes."""
+    from scipy.optimize import minimize
+
+    mesh = mesh if mesh is not None else data_mesh()
+    rvpack, _, vg = make_sharded_warped_objective(
+        mesh, cfg, block=block, grad_block=grad_block, mixed=mixed)
+    prior_grad = jax.jit(jax.value_and_grad(rvpack.log_prior))
+
+    def fun(z_np):
+        z = jnp.asarray(z_np)
+        logl, g = vg(z)
+        lp, gp_ = prior_grad(z)
+        val = -(float(logl) + float(lp))
+        grad = -(np.asarray(g) + np.asarray(gp_))
+        if not np.isfinite(val) or not np.isfinite(grad).all():
+            val = 1e12
+            grad = np.nan_to_num(grad, nan=0.0, posinf=0.0, neginf=0.0)
+        if verbose:
+            print(f"  nlp={val:.6f}")
+        return val, grad
+
+    z0 = (
+        np.asarray(rvpack.pack_values(start)) if start is not None
+        else np.asarray(rvpack.z0()))
+    res = minimize(fun, z0, jac=True, method="L-BFGS-B",
+                   options={"maxiter": maxiter})
+    vals = rvpack.unpack(jnp.asarray(res.x))
+    hypers = {k: np.asarray(v) for k, v in vals.items()}
+    if "gv" in hypers:
+        hypers["gv"] = hypers["gv"].reshape(())
+    if "alpha" in hypers:
+        hypers["alpha"] = hypers["alpha"].reshape(())
+    return hypers, -float(res.fun)
+
+
 def sharded_big_map_fit(X, y, kerns=("RBF",), ops=(), noise: bool = True,
                         truncate: bool = False, jitter: float = 1e-6,
                         block: int = 256, maxiter: int = 50, start=None,

@@ -203,7 +203,14 @@ class GPMCMC(LHC):
 
     def y_dist(self, mode="hist_kde", nsamps=None, return_data=False,
                surrogate=True):
+        """Forward-UQ output distribution through the surrogate
+        (reference gpmcmc.py:253-263).  nsamps=None defaults to 1000
+        prior samples — the reference crashes on its own default
+        (np.zeros((None, ...)) at lhc.py:257); fixed here like its
+        other bugs."""
         if surrogate:
+            if nsamps is None:
+                nsamps = 1000
             xsamps = self._LHC__latin_sample(nsamps)
             ypreds = self.predict(xsamps)
             self._LHC__y_dist(ypreds, mode)
@@ -268,11 +275,17 @@ class GPMCMC(LHC):
     # -- fitting ----------------------------------------------------------
     def fit(self, method="map", return_data=False, iwgp=False, cwgp=False,
             jitter=1e-6, truncate=False, restarts=1, **kwargs):
+        """Fit hyperparameters; return_data=True returns the MCMC draws
+        as an arviz InferenceData when arviz is importable (reference
+        gpmcmc.py:175-182 returns pm.sample's InferenceData), else the
+        MCMCData carrier (same from_dict schema via .to_dict())."""
         self.m, self.gp, self.hypers, data = self.__fit(
             self.x, self.y - self.ym, method, iwgp, cwgp, jitter, truncate,
             restarts, **kwargs)
         if return_data:
-            return data
+            from .inference import nuts
+
+            return nuts.as_inference_data(data)
 
     def __fit(self, x, y, method, iwgp, cwgp, jitter=1e-6, truncate=False,
               restarts=1, **kwargs):
@@ -293,16 +306,19 @@ class GPMCMC(LHC):
                 from .gp import sharded
 
                 if iwgp or cwgp:
-                    raise Exception(
-                        "precision='distributed' fitting does not support "
-                        "learnable warpings (iwgp/cwgp); use "
-                        "precision='f64'")
-                xin = _apply_conrevs(self.xconrevs, x, "con")
-                yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
-                mp, _logp = sharded.sharded_big_map_fit(
-                    xin, yin, kerns=tuple(self.kerns), ops=tuple(self.ops),
-                    noise=self.noise, truncate=truncate, jitter=jitter,
-                    start=start, **kwargs)
+                    # learnable warpings over the mesh: the elementwise
+                    # warp layers ride the distributed closed-form
+                    # pipeline (sharded.make_sharded_warped_objective)
+                    mp, _logp = sharded.sharded_big_warped_map_fit(
+                        cfg, start=start, **kwargs)
+                else:
+                    xin = _apply_conrevs(self.xconrevs, x, "con")
+                    yin = np.asarray(self.yconrevs[0].con(y[:, 0]))
+                    mp, _logp = sharded.sharded_big_map_fit(
+                        xin, yin, kerns=tuple(self.kerns),
+                        ops=tuple(self.ops), noise=self.noise,
+                        truncate=truncate, jitter=jitter,
+                        start=start, **kwargs)
             elif precision_ == "mixed":
                 # large-N path: closed-form gradients through the
                 # int8-Ozaki blocked factorisation (gp/bigfit.py); full
@@ -417,12 +433,18 @@ class GPMCMC(LHC):
 
     # -- train/test -------------------------------------------------------
     def train_test(self, training_frac=0.9):
-        from sklearn.model_selection import train_test_split
-
+        """Random train/test index split (reference gpmcmc.py:521-526,
+        which delegates to sklearn's train_test_split; the same
+        semantics natively — shuffled permutation, n_train =
+        floor(frac * n))."""
+        if not (isinstance(training_frac, float)
+                and 0.0 < training_frac < 1.0):
+            raise Exception(
+                "Error: training_frac must be a float in (0, 1)")
         self.nsamp = len(self.x)
-        indexes = np.arange(self.nsamp)
-        self.train, self.test = train_test_split(
-            indexes, train_size=training_frac)
+        perm = np.random.default_rng().permutation(self.nsamp)
+        ntrain = int(np.floor(self.nsamp * training_frac))
+        self.train, self.test = perm[:ntrain], perm[ntrain:]
 
     # -- prediction -------------------------------------------------------
     def predict(self, x, return_var=False, convert=True, revert=True,

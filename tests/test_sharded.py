@@ -269,3 +269,90 @@ def test_sharded_map_fit_recovers_hypers(mesh):
     hypers_d, logpost_d = engine.map_fit(cfg)
     assert logpost == pytest.approx(logpost_d, rel=1e-4, abs=1e-3)
     np.testing.assert_allclose(hypers["l"], hypers_d["l"], rtol=2e-2)
+
+
+def _warped_cfg(n=44, iwgp=False, cwgp=False, kernel="RBF", seed=3):
+    import andvaranaut_tpu.transform as tf
+    from andvaranaut_tpu import dists
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    rng = np.random.default_rng(seed)
+    priors = [dists.Uniform(0.0, 2.0), dists.Uniform(1.0, 0.5)]
+    X = np.stack([rng.uniform(0.0, 2.0, n), rng.uniform(1.0, 1.5, n)],
+                 axis=1)
+    y = (X[:, 0] ** 2 - X[:, 0] - X[:, 1] ** 2 * X[:, 0] + X[:, 1]
+         + 0.01 * rng.normal(size=n)).reshape(-1, 1)
+    if iwgp:
+        xconrevs = [
+            tf.wgp(["uniform", "kumaraswamy"], np.array([1.0, 1.0]),
+                   y=None, xdist=priors[0]),
+            tf.uniform(priors[1])]
+    else:
+        xconrevs = [tf.uniform(priors[0]), tf.uniform(priors[1])]
+    if cwgp:
+        yconrevs = [tf.wgp(["meanstd", "sinharcsinh"],
+                           np.array([0.0, 1.0]), y=y[:, 0])]
+    else:
+        yconrevs = [_none_conrev()]
+    kerns, ops = kernels.parse_kernel(kernel)
+    return engine.FitConfig(
+        kerns=kerns, ops=ops, noise=True, truncate=False, jitter=1e-6,
+        iwgp=iwgp, cwgp=cwgp, priors=priors, xconrevs=xconrevs,
+        yconrevs=yconrevs, x=X, y=y)
+
+
+@pytest.mark.parametrize("iwgp,cwgp,n", [
+    (False, True, 48),   # divisible by D=8
+    (True, False, 48),
+    (True, True, 44),    # padded (8 does not divide 44)
+])
+def test_sharded_warped_vg_matches_autodiff(mesh, iwgp, cwgp, n):
+    """Distributed warped value+grad (make_sharded_warped_objective)
+    vs the f64 autodiff objective (engine.build_objective) — the
+    multi-chip route for the flagship warped large-N fit (reference
+    gpmcmc.py:211-277 has no N-scaling at all)."""
+    cfg = _warped_cfg(n=n, iwgp=iwgp, cwgp=cwgp)
+    rvpack, _, vg = sharded.make_sharded_warped_objective(
+        mesh, cfg, block=32)
+    rv2, nlp = engine.build_objective(cfg)
+    assert rvpack.total == rv2.total
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(np.asarray(rvpack.z0())
+                    + 0.05 * rng.standard_normal(rvpack.total))
+    v, g = vg(z)
+    nlp_dist = -(float(v) + float(rvpack.log_prior(z)))
+    nlp_ref = float(nlp(z))
+    assert abs(nlp_dist - nlp_ref) < 1e-6 * max(1.0, abs(nlp_ref))
+    g_ref = np.asarray(jax.grad(nlp)(z))
+    g_dist = -(np.asarray(g)
+               + np.asarray(jax.grad(rvpack.log_prior)(z)))
+    np.testing.assert_allclose(g_dist, g_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_warped_neg_log_post_custom_vjp(mesh):
+    """The distributed warped neg_log_post exposes gradients through
+    its custom vjp (the host L-BFGS / MCMC contract)."""
+    cfg = _warped_cfg(n=40, cwgp=True)
+    rvpack, nlp, vg = sharded.make_sharded_warped_objective(
+        mesh, cfg, block=32)
+    z = jnp.asarray(np.asarray(rvpack.z0()) + 0.03)
+    val, grad = jax.value_and_grad(nlp)(z)
+    v2, g2 = vg(z)
+    lp, gp_ = jax.value_and_grad(rvpack.log_prior)(z)
+    assert float(val) == pytest.approx(-(float(v2) + float(lp)),
+                                       rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(grad), -(np.asarray(g2) + np.asarray(gp_)),
+        rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_big_warped_map_fit(mesh):
+    """End-to-end distributed warped MAP fit improves the posterior and
+    returns the full hyper + warp-parameter menu."""
+    cfg = _warped_cfg(n=48, cwgp=True)
+    hypers, logp = sharded.sharded_big_warped_map_fit(
+        cfg, block=32, maxiter=12, mesh=mesh)
+    assert {"gv", "l", "kv", "cwgp", "cwgp_pos"} <= set(hypers)
+    rvpack, nlp, _ = sharded.make_sharded_warped_objective(
+        mesh, cfg, block=32)
+    assert logp > -float(nlp(jnp.asarray(rvpack.z0())))
