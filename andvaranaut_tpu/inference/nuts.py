@@ -1150,7 +1150,7 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
                   z0=None, verbose=False, sampler=None,
                   steps_per_call=100, adapt_tlen=True,
-                  curvature_mass=False) -> "MCMCData":
+                  curvature_mass=False, vec="vmap") -> "MCMCData":
     """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
     into constrained posterior arrays.
 
@@ -1163,6 +1163,10 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     at n=16384 on this platform (every compiled transition program
     faults the worker there; docs/TPU_NOTES.md round 3).
 
+    vec ('hmc_host', chains >= 2): chain-batching mode — 'vmap'
+    (default), 'map' (lax.map over chains: the n=16384 route, where
+    the vmapped program dies in the remote compiler), '0' (serial
+    per-chain launches).  ANDVARANAUT_MCMC_VEC overrides.
     curvature_mass: for 'hmc_host' with a warm z0 (a MAP point): fix
     the mass matrix to the finite-difference curvature at z0
     (host_hmc.map_diag_inv_mass, 2*dim extra launches) and skip Welford
@@ -1192,14 +1196,21 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
             return u_vg(jnp.asarray(z))
 
         vec_fn = None
-        if chains >= 2 and os.environ.get(
-                "ANDVARANAUT_MCMC_VEC", "1") != "0":
-            # one vmapped launch advances ALL chains a leapfrog —
-            # the lockstep multi-chain route (host_hmc vec_eval);
-            # ANDVARANAUT_MCMC_VEC=0 falls back to serial chains
-            # (e.g. if the batched program exceeds HBM at large n)
-            vec_vg = jax.jit(jax.vmap(jax.value_and_grad(
-                neg_log_post)))
+        mode = os.environ.get("ANDVARANAUT_MCMC_VEC", "") or vec
+        if chains >= 2 and mode != "0":
+            # one batched launch advances ALL chains a leapfrog — the
+            # lockstep multi-chain route (host_hmc vec_eval).  Mode
+            # 'vmap' batches the chain axis; 'map' runs lax.map over
+            # chains inside one program (same per-chain shape — the
+            # 16k route: jax.vmap of the 16k value+grad dies in the
+            # remote compiler while lax.map compiles and runs,
+            # measured round 5); '0' = serial per-chain launches.
+            # ANDVARANAUT_MCMC_VEC overrides.
+            vg_one = jax.value_and_grad(neg_log_post)
+            if mode == "map":
+                vec_vg = jax.jit(lambda Z: jax.lax.map(vg_one, Z))
+            else:
+                vec_vg = jax.jit(jax.vmap(vg_one))
 
             def vec_fn(Z):
                 return vec_vg(jnp.asarray(Z))
@@ -1256,9 +1267,16 @@ def _resolve_mcmc_block(n: int) -> int:
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
                  random_seed=0, max_treedepth=10, verbose=False,
                  mixed=None, sampler=None, steps_per_call=100,
-                 adapt_tlen=True, **kwargs):
+                 adapt_tlen=True, mesh=None, **kwargs):
     """NUTS/HMC posterior over a FitConfig's hyperparameters — the
     engine-level analogue of pm.sample inside __fit (gpmcmc.py:351).
+
+    mesh: a jax.sharding.Mesh routes every leapfrog's value+grad
+    through the row-sharded closed-form pipeline
+    (sharded.make_sharded_mixed_objective, or the warped variant for
+    iwgp/cwgp configs) — N chips per leapfrog, host integrator
+    (sampler defaults to 'hmc_host'; the reference's only multi-chain
+    axis was multiprocessing on one host, gpmcmc.py:351).
 
     mixed: route the NLML through the blocked mixed-precision
     factorisation with closed-form gradients (bigfit.make_mixed_objective)
@@ -1279,7 +1297,9 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
     from .._config import is_tpu
 
     if sampler is None:
-        if is_tpu():
+        if mesh is not None:
+            sampler = "hmc_host"
+        elif is_tpu():
             sampler = "hmc_host" if cfg.x.shape[0] > 2048 else "hmc"
         else:
             sampler = "nuts"
@@ -1299,7 +1319,27 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
             "backend, or reduce draws+tune.")
     if mixed is None:
         mixed = is_tpu()
-    if mixed and (cfg.iwgp or cfg.cwgp):
+    if mesh is not None:
+        import numpy as _np
+
+        from ..gp import sharded
+
+        n, nx = cfg.x.shape
+        block = min(_resolve_mcmc_block(n), 256)
+        if cfg.iwgp or cfg.cwgp:
+            rvpack, nlp, _ = sharded.make_sharded_warped_objective(
+                mesh, cfg, block=block)
+        else:
+            xin = _np.zeros((n, nx))
+            for i in range(nx):
+                xin[:, i] = _np.asarray(
+                    cfg.xconrevs[i].con(cfg.x[:, i]))
+            yin = _np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
+            rvpack, nlp, _ = sharded.make_sharded_mixed_objective(
+                mesh, xin, yin, kerns=cfg.kerns, ops=cfg.ops,
+                noise=cfg.noise, truncate=cfg.truncate,
+                jitter=cfg.jitter, block=block)
+    elif mixed and (cfg.iwgp or cfg.cwgp):
         # learnable warpings through the mixed path: closed-form kernel
         # gradients + elementwise-AD warp terms (bigfit.make_warped_vg),
         # wrapped as a custom-vjp scalar objective exactly like
@@ -1373,4 +1413,8 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         # a warm start is (almost always) a fitted MAP point: fix the
         # host sampler's mass to the curvature there instead of a
         # short-warmup Welford estimate (no-op for compiled samplers)
-        curvature_mass=warm)
+        curvature_mass=warm,
+        # chain batching: lax.map above the measured vmap
+        # compile-death boundary (vmap green through n=8192, dead at
+        # 16384 — benchmarks/vec16k_probe*.py)
+        vec="map" if is_tpu() and cfg.x.shape[0] > 8192 else "vmap")

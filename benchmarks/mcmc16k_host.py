@@ -101,11 +101,19 @@ def main():
         nevals[0] += 1
         return u, g
 
-    # lockstep batched chains: ONE vmapped launch per leapfrog
-    # (host_hmc vec_eval).  MCMC_VEC=0 falls back to serial chains.
+    # lockstep batched chains: ONE launch advances all chains a
+    # leapfrog (host_hmc vec_eval).  MCMC_VEC: 'map' (default —
+    # lax.map over the chain axis; jax.vmap of the 16k program DIES IN
+    # THE REMOTE COMPILER, measured round 5, while vmap is fine at
+    # n <= 8192), 'vmap', or '0' for serial chains.
+    vec_mode = os.environ.get("MCMC_VEC", "map")
     vec_fn = None
-    if CHAINS >= 2 and os.environ.get("MCMC_VEC", "1") != "0":
-        vec_vg = jax.jit(jax.vmap(jax.value_and_grad(nlp)))
+    if CHAINS >= 2 and vec_mode != "0":
+        vg_one = jax.value_and_grad(nlp)
+        if vec_mode == "vmap":
+            vec_vg = jax.jit(jax.vmap(vg_one))
+        else:
+            vec_vg = jax.jit(lambda Z: jax.lax.map(vg_one, Z))
 
         def vec_fn(Z):
             t = time.time()

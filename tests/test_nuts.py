@@ -909,3 +909,52 @@ def test_hmc_host_batched_gp_posterior(rng):
     std = zs_.std(axis=0) + 1e-9
     assert np.all(np.abs(zb.mean(axis=0) - zs_.mean(axis=0))
                   < 1.2 * std + 0.3)
+
+
+def test_sample_rvpack_vec_map_mode(rng, monkeypatch):
+    """vec='map' (the >8192-n route) samples correctly through
+    lax.map-over-chains, and sample_model picks it on TPU above the
+    measured vmap compile boundary."""
+    from andvaranaut_tpu.gp import bigfit
+
+    n, nx = 48, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.01 * rng.normal(size=n)
+    rvpack, nlp = bigfit.make_mixed_objective(
+        jnp.asarray(X), jnp.asarray(y), kerns=("RBF",), noise=True,
+        jitter=1e-6, block=48)
+    data = nuts.sample_rvpack(
+        rvpack, nlp, draws=20, tune=20, chains=4, sampler="hmc_host",
+        max_treedepth=3, random_seed=5, vec="map")
+    assert data.posterior["l"].shape == (4, 20, nx)
+    assert np.isfinite(data.sample_stats["lp"]).all()
+
+    # dispatch pin: sample_model chooses vec='map' above n=8192 on TPU
+    from andvaranaut_tpu import _config
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    seen = {}
+
+    def spy(rvpack, nlp, **kw):
+        seen["vec"] = kw.get("vec")
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(nuts, "sample_rvpack", spy)
+    monkeypatch.setattr(_config, "is_tpu", lambda: True)
+
+    def cfg_of(m):
+        Xm = rng.uniform(size=(m, 2))
+        ym = np.sin(3 * Xm[:, 0]).reshape(-1, 1)
+        return engine.FitConfig(
+            kerns=("RBF",), ops=(), noise=True, truncate=False,
+            jitter=1e-6, iwgp=False, cwgp=False, priors=[None, None],
+            xconrevs=[_none_conrev(), _none_conrev()],
+            yconrevs=[_none_conrev()], x=Xm, y=ym)
+
+    with pytest.raises(RuntimeError, match="stop"):
+        nuts.sample_model(cfg_of(8193), draws=2, tune=2, mixed=True)
+    assert seen["vec"] == "map"
+    with pytest.raises(RuntimeError, match="stop"):
+        nuts.sample_model(cfg_of(64), draws=2, tune=2, mixed=True)
+    assert seen["vec"] == "vmap"
