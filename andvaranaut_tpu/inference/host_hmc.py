@@ -155,6 +155,43 @@ def map_diag_inv_mass(u_and_grad, z_map, fd_h=1e-2, floor=1e-12,
         _, gm = u_and_grad(zm)
         h[i] = (np.asarray(gp_, dtype=np.float64)[i]
                 - np.asarray(gm, dtype=np.float64)[i]) / (2.0 * fd_h)
+    return _inv_mass_from_diag(h, floor, clip_max, rel_tol)
+
+
+def map_diag_inv_mass_batched(vec_eval, z_map, lanes, fd_h=1e-2,
+                              floor=1e-12, clip_max=1.0, rel_tol=1e-5):
+    """map_diag_inv_mass through a BATCHED objective: the 2*dim central
+    -difference probes run as ceil(2*dim/lanes) launches of the
+    already-compiled chain-batched program instead of 2*dim serial
+    launches of a program compiled ONLY for this (the serial 16k
+    value+grad costs ~80 s of remote compile the batched MCMC run
+    never otherwise needs).  `lanes` must equal the batch size
+    vec_eval was built for (the chain count)."""
+    z = np.asarray(z_map, dtype=np.float64).reshape(-1)
+    dim = z.size
+    probes = np.broadcast_to(z, (2 * dim, dim)).copy()
+    for i in range(dim):
+        probes[2 * i, i] += fd_h
+        probes[2 * i + 1, i] -= fd_h
+    grads = np.empty((2 * dim, dim))
+    for s in range(0, 2 * dim, lanes):
+        batch = probes[s:s + lanes]
+        if batch.shape[0] < lanes:  # pad the last launch's dead lanes
+            batch = np.concatenate(
+                [batch, np.broadcast_to(z, (lanes - batch.shape[0],
+                                            dim))])
+        _, gs = vec_eval(batch)
+        grads[s:s + lanes] = np.asarray(
+            gs, dtype=np.float64)[:grads[s:s + lanes].shape[0]]
+    h = np.asarray([
+        (grads[2 * i, i] - grads[2 * i + 1, i]) / (2.0 * fd_h)
+        for i in range(dim)])
+    return _inv_mass_from_diag(h, floor, clip_max, rel_tol)
+
+
+def _inv_mass_from_diag(h, floor, clip_max, rel_tol):
+    """Shared tail of the curvature-mass estimators: relative
+    resolution threshold, smallest-resolved fallback, clip."""
     resolved = h > max(floor, rel_tol * float(h.max(initial=0.0)))
     if resolved.any():
         fallback = float(1.0 / np.max(h[resolved]))

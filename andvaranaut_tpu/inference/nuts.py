@@ -1215,8 +1215,15 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
             def vec_fn(Z):
                 return vec_vg(jnp.asarray(Z))
 
-        im0 = (host_hmc.map_diag_inv_mass(host_fn, np.asarray(z0))
-               if curvature_mass else None)
+        if not curvature_mass:
+            im0 = None
+        elif vec_fn is not None:
+            # probe through the chain-batched program: the serial
+            # program then never compiles (~80 s saved at 16k)
+            im0 = host_hmc.map_diag_inv_mass_batched(
+                vec_fn, np.asarray(z0), chains)
+        else:
+            im0 = host_hmc.map_diag_inv_mass(host_fn, np.asarray(z0))
         res = host_hmc.hmc_host_sample(
             host_fn, z0, num_warmup=tune,
             num_samples=draws, num_chains=chains,

@@ -84,10 +84,15 @@ def main():
         print(f"starting at {v}", flush=True)
     else:
         z0 = np.asarray(rvpack.z0())
-    t0 = time.time()
-    u0, g0 = u_vg(jnp.asarray(z0))
-    print(f"compile+first eval {time.time() - t0:.1f}s, "
-          f"U0={float(u0):.2f}", flush=True)
+    vec_active = (CHAINS >= 2
+                  and os.environ.get("MCMC_VEC", "map") != "0")
+    if not vec_active:
+        # the serial program only compiles when it will actually run
+        # (batched runs never call it: ~80 s compile saved at 16k)
+        t0 = time.time()
+        u0, g0 = u_vg(jnp.asarray(z0))
+        print(f"compile+first eval {time.time() - t0:.1f}s, "
+              f"U0={float(u0):.2f}", flush=True)
 
     nevals = [0]
     t_evals = [0.0]

@@ -958,3 +958,68 @@ def test_sample_rvpack_vec_map_mode(rng, monkeypatch):
     with pytest.raises(RuntimeError, match="stop"):
         nuts.sample_model(cfg_of(64), draws=2, tune=2, mixed=True)
     assert seen["vec"] == "vmap"
+
+
+def test_map_diag_inv_mass_batched_matches_serial():
+    """The batched curvature-mass prober (chunks of `lanes` probes per
+    launch, padded last launch) must agree exactly with the serial
+    estimator — it exists so a warm-start batched MCMC run never
+    compiles the serial program."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    hdiag = np.asarray([400.0, 25.0, 4.0, 0.25, 1e-9])
+
+    def u_vg(z):
+        z = np.asarray(z)
+        return 0.5 * float(np.sum(hdiag * z * z)), hdiag * z
+
+    calls = {"n": 0}
+
+    def vec_eval(Z):
+        calls["n"] += 1
+        Z = np.asarray(Z)
+        assert Z.shape[0] == 4  # every launch carries `lanes` rows
+        return (0.5 * np.sum(hdiag * Z * Z, axis=1), hdiag * Z)
+
+    im_serial = host_hmc.map_diag_inv_mass(u_vg, np.zeros(5))
+    im_batched = host_hmc.map_diag_inv_mass_batched(
+        vec_eval, np.zeros(5), lanes=4)
+    np.testing.assert_allclose(im_batched, im_serial, rtol=1e-12)
+    assert calls["n"] == 3  # ceil(2*5/4)
+
+
+def test_sample_rvpack_warm_start_batched_no_serial_compile(
+        rng, monkeypatch):
+    """sample_model(start=..., chains>=2): the curvature probes and the
+    run itself go through the batched program only — the serial
+    objective is never evaluated."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.inference import host_hmc
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n, nx = 32, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.1 * rng.normal(size=n)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None] * nx,
+        xconrevs=[_none_conrev()] * nx, yconrevs=[_none_conrev()],
+        x=X, y=y.reshape(-1, 1))
+
+    seen = {}
+    real = host_hmc.hmc_host_sample
+
+    def spy(fn, z0, **kw):
+        def poisoned(z):
+            raise AssertionError("serial objective was called")
+
+        seen["vec"] = kw.get("vec_eval") is not None
+        seen["im0"] = kw.get("inv_mass0")
+        return real(poisoned, z0, **kw)
+
+    monkeypatch.setattr(host_hmc, "hmc_host_sample", spy)
+    nuts.sample_model(
+        cfg, draws=4, tune=4, chains=2, sampler="hmc_host",
+        mixed=False, start={"gv": 0.01, "l": [1.0, 1.0], "kv": 1.0})
+    assert seen["vec"] is True
+    assert seen["im0"] is not None and np.isfinite(seen["im0"]).all()
