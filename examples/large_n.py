@@ -64,14 +64,16 @@ def main():
     if os.environ.get("LARGE_N_MCMC", "0") == "1":
         # Hyperparameter posterior at large N.  On TPU, sample_model
         # (reached via fit(method='mcmc_mean')) automatically uses the
-        # host-driven HMC sampler above n=2048 — one MAP-class
-        # value+grad launch per leapfrog, the only program class that
-        # does not fault this platform's worker at 16k-scale
-        # (docs/TPU_NOTES.md).  Budget transitions to taste: each costs
-        # ~mean(budget)/2 launches of the mixed value+grad.
+        # host-driven HMC sampler above n=2048 — one value+grad launch
+        # per leapfrog, the only program class that does not fault
+        # this platform's worker at 16k-scale (docs/TPU_NOTES.md).
+        # chains >= 2 advance in LOCKSTEP through one chain-batched
+        # launch per leapfrog (lax.map above n=8192, vmap below), and
+        # `start=g.hypers` fixes the mass to the curvature at the MAP
+        # point probed through the same batched program.
         t0 = time.time()
         g.fit(method="mcmc_mean", mixed=True, draws=20, tune=20,
-              chains=1, max_treedepth=3)
+              chains=2, max_treedepth=3, start=g.hypers)
         print(f"mcmc_mean fit N={N}: {time.time() - t0:.1f} s, "
               f"hypers {g.hypers}")
 
