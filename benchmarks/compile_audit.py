@@ -169,6 +169,44 @@ def main():
         except Exception as e:  # pragma: no cover - diagnostic harness
             print("nlml trace failed:", e)
 
+    if which in ("mcmc", "all"):
+        # the large-n MCMC program set: the chain-batched (lax.map)
+        # value+grad — the ONLY program a batched warm-start run
+        # compiles (the serial program is never built since the
+        # batched curvature probes, round 5)
+        C = int(os.environ.get("AUDIT_CHAINS", 4))
+        rvpack2, nlp = __import__(
+            "andvaranaut_tpu.gp.bigfit", fromlist=["bigfit"]
+        ).make_mixed_objective(X, y, kerns=("RBF",), noise=True,
+                               jitter=1e-6, block=block)
+        vg1 = jax.value_and_grad(nlp)
+        jax.eval_shape(lambda Z: jax.lax.map(vg1, Z),
+                       jax.numpy.zeros((C, rvpack2.total)))
+        report(f"mcmc batched C={C} n={n} block={block}")
+
+    if which in ("cond", "all"):
+        # the prediction/BO conditioning program (GPState mixed
+        # conditioning above MIXED_N): factorise + refined alpha
+        from andvaranaut_tpu.gp import kernels, precision
+
+        def cond(zz):
+            ll = jax.numpy.exp(zz[1:3])
+            kv = jax.numpy.exp(zz[3:4])
+            K = kernels.gram(("RBF",), (), X, None, ll, kv, None)
+            row = jax.lax.broadcasted_iota(jax.numpy.int32, (n, 1), 0)
+            col = jax.lax.broadcasted_iota(jax.numpy.int32, (1, n), 1)
+            K = K + jax.numpy.where(row == col,
+                                    jax.numpy.exp(zz[0]) + 1e-6, 0.0)
+            L, Dinv = precision.blocked_cholesky(
+                K, block=block, return_inv=True,
+                shrink=precision.fit_shrink())
+            alpha = precision.refined_chol_solve(
+                L, K, y, block=block, Dinv=Dinv)
+            return alpha
+
+        jax.eval_shape(cond, z)
+        report(f"conditioning n={n} block={block}")
+
 
 if __name__ == "__main__":
     main()
