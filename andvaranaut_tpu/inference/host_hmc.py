@@ -435,7 +435,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     eps0=None, jitter_init=1.0, seed=0,
                     max_delta_h=1000.0, adapt_tlen=None, callback=None,
                     on_draw=None, inv_mass0=None, adapt_mass=True,
-                    vec_eval=None):
+                    vec_eval=None, pilot=0):
     """Jittered-trajectory HMC with a host-side integrator.
 
     u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
@@ -479,10 +479,35 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     programs fault and serial chains cost C x the launches.  The
     ChEES auto-gate then sees the true chain count (>= 2).
 
+    pilot: > 0 runs a TWO-STAGE schedule — a pilot phase of
+    pilot+pilot transitions under the default adaptation, then the
+    requested warmup+samples with the mass FIXED to the pilot draws'
+    empirical variances (draws_inv_mass) and chains re-started at the
+    pilot's best-lp draw.  This automates the measured-best large-n
+    recipe: at 16k the in-warmup Welford window is 0/3 measured
+    configurations (correlated-window mass estimates collapse accept
+    to 0.08-0.37, docs/TPU_NOTES.md round 4/5) while pilot-draw
+    variances are the estimand itself.  Ignored when inv_mass0 is
+    given.
+
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
     diverging, accept, depth (actual leapfrog count per transition),
     eps — so MCMCData / sample_rvpack consume it unchanged.
     """
+    if pilot and inv_mass0 is None:
+        pres = hmc_host_sample(
+            u_and_grad, z0, num_warmup=int(pilot),
+            num_samples=int(pilot), num_chains=num_chains,
+            target_accept=target_accept, budget=budget, eps0=eps0,
+            jitter_init=jitter_init, seed=seed,
+            max_delta_h=max_delta_h, adapt_tlen=False,
+            callback=callback, vec_eval=vec_eval)
+        inv_mass0 = draws_inv_mass(pres["z"])
+        best = np.unravel_index(int(np.argmax(pres["lp"])),
+                                pres["lp"].shape)
+        z0 = pres["z"][best]
+        adapt_mass = False
+        seed = (int(seed) + 1000003) if np.isscalar(seed) else seed
     rng = np.random.default_rng(seed)
     z0 = np.asarray(z0, dtype=np.float64).reshape(-1)
     dim = z0.shape[0]

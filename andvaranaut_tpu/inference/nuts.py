@@ -1150,7 +1150,8 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   target_accept=0.8, random_seed=0, max_treedepth=10,
                   z0=None, verbose=False, sampler=None,
                   steps_per_call=100, adapt_tlen=True,
-                  curvature_mass=False, vec="vmap") -> "MCMCData":
+                  curvature_mass=False, vec="vmap",
+                  pilot=0) -> "MCMCData":
     """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
     into constrained posterior arrays.
 
@@ -1167,6 +1168,9 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     (default), 'map' (lax.map over chains: the n=16384 route, where
     the vmapped program dies in the remote compiler), '0' (serial
     per-chain launches).  ANDVARANAUT_MCMC_VEC overrides.
+    pilot ('hmc_host'): > 0 runs the two-stage pilot-mass schedule
+    (host_hmc.hmc_host_sample pilot=) — the measured large-n recipe
+    where in-warmup Welford mass fails.
     curvature_mass: for 'hmc_host' with a warm z0 (a MAP point): fix
     the mass matrix to the finite-difference curvature at z0
     (host_hmc.map_diag_inv_mass, 2*dim extra launches) and skip Welford
@@ -1229,7 +1233,7 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
             num_samples=draws, num_chains=chains,
             target_accept=target_accept, budget=2 ** max_treedepth,
             seed=random_seed, inv_mass0=im0, adapt_mass=im0 is None,
-            vec_eval=vec_fn)
+            vec_eval=vec_fn, pilot=pilot)
     else:
         res = nuts_sample(
             logp, z0, key=jax.random.PRNGKey(random_seed),
@@ -1274,7 +1278,7 @@ def _resolve_mcmc_block(n: int) -> int:
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
                  random_seed=0, max_treedepth=10, verbose=False,
                  mixed=None, sampler=None, steps_per_call=100,
-                 adapt_tlen=True, mesh=None, **kwargs):
+                 adapt_tlen=True, mesh=None, pilot=0, **kwargs):
     """NUTS/HMC posterior over a FitConfig's hyperparameters — the
     engine-level analogue of pm.sample inside __fit (gpmcmc.py:351).
 
@@ -1420,7 +1424,7 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         # a warm start is (almost always) a fitted MAP point: fix the
         # host sampler's mass to the curvature there instead of a
         # short-warmup Welford estimate (no-op for compiled samplers)
-        curvature_mass=warm,
+        curvature_mass=warm, pilot=pilot,
         # chain batching: lax.map above the measured vmap
         # compile-death boundary (vmap green through n=8192, dead at
         # 16384 — benchmarks/vec16k_probe*.py)

@@ -1023,3 +1023,51 @@ def test_sample_rvpack_warm_start_batched_no_serial_compile(
         mixed=False, start={"gv": 0.01, "l": [1.0, 1.0], "kv": 1.0})
     assert seen["vec"] is True
     assert seen["im0"] is not None and np.isfinite(seen["im0"]).all()
+
+
+def test_hmc_host_pilot_two_stage():
+    """pilot=N: a pilot phase feeds draws_inv_mass, then the main run
+    samples with the mass FIXED and chains re-seeded at the pilot's
+    best-lp draw — the large-n recipe where in-warmup Welford fails.
+    The ill-scaled Gaussian must come out whitened despite a warmup
+    far too short for Welford."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([0.05, 1.0, 5.0])
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(3), num_warmup=30, num_samples=900,
+        num_chains=4, budget=16, seed=9, jitter_init=0.1,
+        pilot=80, vec_eval=_batched_gaussian(scales))
+    z = res["z"].reshape(-1, 3)
+    np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
+    assert res["accept"].mean() > 0.5
+
+
+def test_sample_rvpack_pilot_plumbs(rng, monkeypatch):
+    """sample_model(pilot=...) reaches hmc_host_sample."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.inference import host_hmc
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    n, nx = 24, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]).reshape(-1, 1)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False, jitter=1e-6,
+        iwgp=False, cwgp=False, priors=[None] * nx,
+        xconrevs=[_none_conrev()] * nx, yconrevs=[_none_conrev()],
+        x=X, y=y)
+
+    seen = {}
+    real = host_hmc.hmc_host_sample
+
+    def spy(fn, z0, **kw):
+        # the pilot stage re-enters hmc_host_sample (without pilot=);
+        # record the OUTER call only
+        seen.setdefault("pilot", kw.get("pilot"))
+        return real(fn, z0, **kw)
+
+    monkeypatch.setattr(host_hmc, "hmc_host_sample", spy)
+    nuts.sample_model(cfg, draws=4, tune=4, chains=2, pilot=6,
+                      sampler="hmc_host", mixed=False)
+    assert seen["pilot"] == 6
