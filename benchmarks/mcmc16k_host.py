@@ -50,6 +50,11 @@ HESS_MASS = int(os.environ.get("MCMC_HESS_MASS", "0"))
 #: (adapt_mass=False).  Takes precedence over MCMC_HESS_MASS.
 MASS = os.environ.get("MCMC_MASS", "")
 JITTER = float(os.environ.get("MCMC_JITTER", "1.0"))
+#: '' = auto gate (chains>=2 AND warmup>=100 AND budget>=16);
+#: 1/0 force ChEES trajectory adaptation on/off (chains>=2 required)
+TLEN = os.environ.get("MCMC_TLEN", "")
+#: > 0 = two-stage pilot-mass schedule (host_hmc pilot=)
+PILOT = int(os.environ.get("MCMC_PILOT", "0"))
 
 
 def make_data(n, nx=2, seed=0):
@@ -164,7 +169,9 @@ def main():
         vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=CHAINS,
         budget=BUDGET, seed=0, callback=progress, on_draw=dump,
         jitter_init=JITTER, inv_mass0=inv_mass0,
-        adapt_mass=inv_mass0 is None, vec_eval=vec_fn)
+        adapt_mass=inv_mass0 is None, vec_eval=vec_fn,
+        adapt_tlen=None if TLEN == "" else bool(int(TLEN)),
+        pilot=PILOT)
     wall = time.time() - t0
     lp = res["lp"][0]
     kind = "batched launches" if vec_fn is not None else "evals"
