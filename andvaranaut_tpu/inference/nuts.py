@@ -1219,7 +1219,10 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
             def vec_fn(Z):
                 return vec_vg(jnp.asarray(Z))
 
-        if not curvature_mass:
+        if not curvature_mass or pilot:
+            # an explicit pilot schedule supersedes the automatic
+            # curvature mass: pilot-draw variances are the estimand
+            # itself and measured better at 16k (docs/TPU_NOTES.md)
             im0 = None
         elif vec_fn is not None:
             # probe through the chain-batched program: the serial
