@@ -394,6 +394,98 @@ def _exact_ops():
     return mm, chol_inv
 
 
+def _closed_form_core(K_loc, y_loc, z, d, D: int, axis: str, mm,
+                      chol_inv, m: int, n: int, n0: int, gb: int,
+                      nblocks: int, gram_block):
+    """Stages 2-6 of the distributed closed-form pipeline — the part
+    shared by the fixed-warping and learnable-warping objectives:
+
+      2. block-row factorisation + fused forward substitution
+      3. alpha = K^-1 y (replicated)
+      4. L^-1 row blocks by the broadcast pipeline
+      5. K^-1 row blocks by psum_scatter reduce-scatter
+      6. gradient row contraction scanned over column blocks, with
+         W_d = (alpha_d alpha' - Kinv_d)/2 against the jvp of
+         ``gram_block(zz, s, gcolB)`` (an (m, gb) local Gram block —
+         the ONE hook the two objectives differ in: fixed conversions
+         slice a precomputed X, learnable warpings rebuild x~(zz)
+         inside the checkpoint)
+
+    Returns (core logl WITHOUT any warp log|J| term, replicated
+    stopped alpha, psum'd gradient)."""
+    L_loc, Linvs, beta, quad, logdet = _dist_factor(
+        K_loc, y_loc, d, D, axis, mm, chol_inv)
+    logl = -0.5 * quad - logdet - 0.5 * n0 * _LOG_2PI
+
+    alpha_vec = _dist_solve_upper_vec(L_loc, Linvs, beta, d, D, axis)
+
+    S = jnp.zeros((m, n), K_loc.dtype)
+    B_loc = jnp.zeros((m, n), K_loc.dtype)
+    col = jnp.arange(n)
+    for k in range(D):
+        lo = k * m
+        Ek = (col[None, :] == (lo + jnp.arange(m))[:, None]).astype(
+            K_loc.dtype)
+        Sk = jax.lax.psum(jnp.where(d == k, S, 0.0), axis)
+        Bk = mm(Linvs[k], Ek - Sk)  # redundant, but all devices idle
+        B_loc = jnp.where(d == k, Bk, B_loc)
+        if k + 1 < D:
+            S = S + jnp.where(d > k, 1.0, 0.0) * mm(
+                L_loc[:, lo:lo + m], Bk)
+
+    prods = jnp.stack(
+        [mm(B_loc[:, c * m:(c + 1) * m].T, B_loc) for c in range(D)])
+    Kinv_loc = jax.lax.psum_scatter(
+        prods, axis, scatter_dimension=0, tiled=False)
+
+    grow = d * m + jnp.arange(m)
+    a_loc = jax.lax.stop_gradient(
+        jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,)))
+    a_full = jax.lax.stop_gradient(alpha_vec)
+    Kinv_c = jax.lax.stop_gradient(Kinv_loc)
+    real_row = (grow < n0)
+
+    def block_term(carry, s):
+        aB = jax.lax.dynamic_slice(a_full, (s,), (gb,))
+        KinvB = jax.lax.dynamic_slice(Kinv_c, (0, s), (m, gb))
+        gcolB = s + jnp.arange(gb)
+        WB = jnp.where(
+            real_row[:, None] & (gcolB < n0)[None, :],
+            0.5 * (a_loc[:, None] * aB[None, :] - KinvB), 0.0)
+
+        @jax.checkpoint
+        def h(zz):
+            return jnp.sum(WB * gram_block(zz, s, gcolB))
+
+        return carry + jax.grad(h)(z), None
+
+    starts = jnp.arange(nblocks) * gb
+    g_loc, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
+    return logl, a_full, jax.lax.psum(g_loc, axis)
+
+
+def _wrap_neg_log_post(rvpack, value_and_grad):
+    """Custom-vjp scalar objective off a (logl, grad) pair — the host
+    L-BFGS / MCMC contract shared by every sharded objective."""
+
+    @jax.custom_vjp
+    def logl_fn(z):
+        return value_and_grad(z)[0]
+
+    def fwd(z):
+        return value_and_grad(z)
+
+    def bwd(grad, ct):
+        return (ct * grad,)
+
+    logl_fn.defvjp(fwd, bwd)
+
+    def neg_log_post(z):
+        return -(logl_fn(z) + rvpack.log_prior(z))
+
+    return neg_log_post
+
+
 def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
                                  noise: bool = True, truncate: bool = False,
                                  jitter: float = 1e-6, block: int = 256,
@@ -486,60 +578,13 @@ def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
         K_loc = _gram_rows(z, X_loc, X_full, grow, gcol)
         y_loc = jnp.where(grow < n0, y_loc, 0.0)
 
-        # -- stage 2: distributed factorisation + fused forward subst.
-        L_loc, Linvs, beta, quad, logdet = _dist_factor(
-            K_loc, y_loc, d, D, axis, mm, chol_inv)
-        logl = -0.5 * quad - logdet - 0.5 * n0 * _LOG_2PI
-
-        # -- stage 3: alpha = K^-1 y = L^-T beta (replicated)
-        alpha_vec = _dist_solve_upper_vec(L_loc, Linvs, beta, d, D, axis)
-
-        # -- stage 4: B_loc = local row block of L^-1 (broadcast pipeline)
-        S = jnp.zeros((m, n), K_loc.dtype)
-        B_loc = jnp.zeros((m, n), K_loc.dtype)
-        col = jnp.arange(n)
-        for k in range(D):
-            lo = k * m
-            Ek = (col[None, :] == (lo + jnp.arange(m))[:, None]).astype(
-                K_loc.dtype)
-            Sk = jax.lax.psum(jnp.where(d == k, S, 0.0), axis)
-            Bk = mm(Linvs[k], Ek - Sk)  # redundant, but all devices idle
-            B_loc = jnp.where(d == k, Bk, B_loc)
-            if k + 1 < D:
-                S = S + jnp.where(d > k, 1.0, 0.0) * mm(
-                    L_loc[:, lo:lo + m], Bk)
-
-        # -- stage 5: Kinv row block via reduce-scatter over panel products
-        prods = jnp.stack(
-            [mm(B_loc[:, c * m:(c + 1) * m].T, B_loc) for c in range(D)])
-        Kinv_loc = jax.lax.psum_scatter(
-            prods, axis, scatter_dimension=0, tiled=False)
-
-        # -- stage 6: gradient row contraction, scanned over column blocks
-        a_loc = jax.lax.stop_gradient(
-            jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,)))
-        a_full = jax.lax.stop_gradient(alpha_vec)
-        Kinv_c = jax.lax.stop_gradient(Kinv_loc)
-        real_row = (grow < n0)
-
-        def block_term(carry, s):
+        def gram_block(zz, s, gcolB):
             XB = jax.lax.dynamic_slice(X_full, (s, 0), (gb, nx))
-            aB = jax.lax.dynamic_slice(a_full, (s,), (gb,))
-            KinvB = jax.lax.dynamic_slice(Kinv_c, (0, s), (m, gb))
-            gcolB = s + jnp.arange(gb)
-            WB = jnp.where(
-                real_row[:, None] & (gcolB < n0)[None, :],
-                0.5 * (a_loc[:, None] * aB[None, :] - KinvB), 0.0)
+            return _gram_rows(zz, X_loc, XB, grow, gcolB)
 
-            @jax.checkpoint
-            def h(zz):
-                return jnp.sum(WB * _gram_rows(zz, X_loc, XB, grow, gcolB))
-
-            return carry + jax.grad(h)(z), None
-
-        starts = jnp.arange(nblocks) * gb
-        g_loc, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
-        grad = jax.lax.psum(g_loc, axis)
+        logl, _, grad = _closed_form_core(
+            K_loc, y_loc, z, d, D, axis, mm, chol_inv, m, n, n0, gb,
+            nblocks, gram_block)
         return logl, grad
 
     # check_vma=False: the varying-manual-axes tracker rejects scan
@@ -559,22 +604,8 @@ def make_sharded_mixed_objective(mesh: Mesh, X, y, kerns=("RBF",), ops=(),
         """(logl, dlogl/dz), both replicated."""
         return spmd(Xs, ys, z)
 
-    @jax.custom_vjp
-    def logl_fn(z):
-        return value_and_grad(z)[0]
-
-    def fwd(z):
-        return value_and_grad(z)
-
-    def bwd(grad, ct):
-        return (ct * grad,)
-
-    logl_fn.defvjp(fwd, bwd)
-
-    def neg_log_post(z):
-        return -(logl_fn(z) + rvpack.log_prior(z))
-
-    return rvpack, neg_log_post, value_and_grad
+    return rvpack, _wrap_neg_log_post(rvpack, value_and_grad), \
+        value_and_grad
 
 
 def make_sharded_warped_objective(mesh: Mesh, cfg, block: int = 256,
@@ -687,65 +718,24 @@ def make_sharded_warped_objective(mesh: Mesh, cfg, block: int = 256,
             grow < n0,
             jax.lax.dynamic_slice(yin_p, (d * m,), (m,)), 0.0)
 
-        L_loc, Linvs, beta, quad, logdet = _dist_factor(
-            K_loc, y_loc, d, D, axis, mm, chol_inv)
-        logl = -0.5 * quad - logdet - 0.5 * n0 * _LOG_2PI + ldj
+        def gram_block(zz, s, gcolB):
+            # warped inputs rebuilt inside the core's checkpoint: iwgp
+            # gradients flow through the elementwise Gram jvp
+            vz = rvpack.unpack(zz)
+            gv_ = (vz["gv"][0] if noise
+                   else jnp.asarray(0.0, zz.dtype))
+            az = vz["alpha"][0] if has_alpha else None
+            xz = jnp.pad(xin_of(vz), ((0, npad - n0), (0, 0)))
+            xr = jax.lax.dynamic_slice(
+                xz, (d * m, jnp.int32(0)), (m, nx))
+            xc = jax.lax.dynamic_slice(xz, (s, 0), (gb, nx))
+            return gram_rows(
+                xr, xc, grow, gcolB, gv_, vz["l"], vz["kv"], az)
 
-        alpha_vec = _dist_solve_upper_vec(L_loc, Linvs, beta, d, D, axis)
-
-        S = jnp.zeros((m, n), K_loc.dtype)
-        B_loc = jnp.zeros((m, n), K_loc.dtype)
-        col = jnp.arange(n)
-        for k in range(D):
-            lo = k * m
-            Ek = (col[None, :] == (lo + jnp.arange(m))[:, None]).astype(
-                K_loc.dtype)
-            Sk = jax.lax.psum(jnp.where(d == k, S, 0.0), axis)
-            Bk = mm(Linvs[k], Ek - Sk)
-            B_loc = jnp.where(d == k, Bk, B_loc)
-            if k + 1 < D:
-                S = S + jnp.where(d > k, 1.0, 0.0) * mm(
-                    L_loc[:, lo:lo + m], Bk)
-
-        prods = jnp.stack(
-            [mm(B_loc[:, c * m:(c + 1) * m].T, B_loc) for c in range(D)])
-        Kinv_loc = jax.lax.psum_scatter(
-            prods, axis, scatter_dimension=0, tiled=False)
-
-        a_loc = jax.lax.stop_gradient(
-            jax.lax.dynamic_slice(alpha_vec, (d * m,), (m,)))
-        a_full = jax.lax.stop_gradient(alpha_vec)
-        Kinv_c = jax.lax.stop_gradient(Kinv_loc)
-        real_row = (grow < n0)
-
-        def block_term(carry, s):
-            aB = jax.lax.dynamic_slice(a_full, (s,), (gb,))
-            KinvB = jax.lax.dynamic_slice(Kinv_c, (0, s), (m, gb))
-            gcolB = s + jnp.arange(gb)
-            WB = jnp.where(
-                real_row[:, None] & (gcolB < n0)[None, :],
-                0.5 * (a_loc[:, None] * aB[None, :] - KinvB), 0.0)
-
-            @jax.checkpoint
-            def h(zz):
-                # warped inputs rebuilt inside the checkpoint: iwgp
-                # gradients flow through the elementwise Gram jvp
-                vz = rvpack.unpack(zz)
-                gv_ = (vz["gv"][0] if noise
-                       else jnp.asarray(0.0, zz.dtype))
-                az = vz["alpha"][0] if has_alpha else None
-                xz = jnp.pad(xin_of(vz), ((0, npad - n0), (0, 0)))
-                xr = jax.lax.dynamic_slice(
-                    xz, (d * m, jnp.int32(0)), (m, nx))
-                xc = jax.lax.dynamic_slice(xz, (s, 0), (gb, nx))
-                return jnp.sum(WB * gram_rows(
-                    xr, xc, grow, gcolB, gv_, vz["l"], vz["kv"], az))
-
-            return carry + jax.grad(h)(z), None
-
-        starts = jnp.arange(nblocks) * gb
-        g_loc, _ = jax.lax.scan(block_term, jnp.zeros_like(z), starts)
-        gK = jax.lax.psum(g_loc, axis)
+        logl_core, a_full, gK = _closed_form_core(
+            K_loc, y_loc, z, d, D, axis, mm, chol_inv, m, n, n0, gb,
+            nblocks, gram_block)
+        logl = logl_core + ldj
 
         if cfg.cwgp:
             a_real = a_full[:n0]
@@ -770,22 +760,8 @@ def make_sharded_warped_objective(mesh: Mesh, cfg, block: int = 256,
         """(logl incl. the log|J| warp term, dlogl/dz), replicated."""
         return spmd(z)
 
-    @jax.custom_vjp
-    def logl_fn(z):
-        return value_and_grad(z)[0]
-
-    def fwd(z):
-        return value_and_grad(z)
-
-    def bwd(grad, ct):
-        return (ct * grad,)
-
-    logl_fn.defvjp(fwd, bwd)
-
-    def neg_log_post(z):
-        return -(logl_fn(z) + rvpack.log_prior(z))
-
-    return rvpack, neg_log_post, value_and_grad
+    return rvpack, _wrap_neg_log_post(rvpack, value_and_grad), \
+        value_and_grad
 
 
 def sharded_big_warped_map_fit(cfg, block: int = 256, maxiter: int = 50,

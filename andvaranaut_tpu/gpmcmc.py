@@ -437,13 +437,23 @@ class GPMCMC(LHC):
         which delegates to sklearn's train_test_split; the same
         semantics natively — shuffled permutation, n_train =
         floor(frac * n))."""
-        if not (isinstance(training_frac, float)
-                and 0.0 < training_frac < 1.0):
-            raise Exception(
-                "Error: training_frac must be a float in (0, 1)")
         self.nsamp = len(self.x)
+        if isinstance(training_frac, (int, np.integer)) and not isinstance(
+                training_frac, bool):
+            # sklearn train_size int = absolute training count
+            if not 0 < training_frac < self.nsamp:
+                raise Exception(
+                    "Error: integer training_frac must be in "
+                    f"(0, {self.nsamp})")
+            ntrain = int(training_frac)
+        else:
+            frac = float(training_frac)
+            if not 0.0 < frac < 1.0:
+                raise Exception(
+                    "Error: training_frac must be a fraction in (0, 1) "
+                    "or an integer training count")
+            ntrain = int(np.floor(self.nsamp * frac))
         perm = np.random.default_rng().permutation(self.nsamp)
-        ntrain = int(np.floor(self.nsamp * training_frac))
         self.train, self.test = perm[:ntrain], perm[ntrain:]
 
     # -- prediction -------------------------------------------------------

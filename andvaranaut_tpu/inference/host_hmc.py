@@ -507,6 +507,10 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                                 pres["lp"].shape)
         z0 = pres["z"][best]
         adapt_mass = False
+        # re-jitter at POSTERIOR scale: the default jitter_init=1.0 is
+        # 30-90 posterior stds at 16k and would undo the bulk restart
+        jitter_init = float(min(jitter_init,
+                                2.0 * np.sqrt(np.max(inv_mass0))))
         seed = (int(seed) + 1000003) if np.isscalar(seed) else seed
     rng = np.random.default_rng(seed)
     z0 = np.asarray(z0, dtype=np.float64).reshape(-1)

@@ -1201,6 +1201,12 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
 
         vec_fn = None
         mode = os.environ.get("ANDVARANAUT_MCMC_VEC", "") or vec
+        if mode not in ("vmap", "map", "0"):
+            # never silently fall through to vmap — at 16k that is
+            # the mode that kills the remote compiler
+            raise ValueError(
+                f"vec / ANDVARANAUT_MCMC_VEC must be one of "
+                f"'vmap', 'map', '0'; got {mode!r}")
         if chains >= 2 and mode != "0":
             # one batched launch advances ALL chains a leapfrog — the
             # lockstep multi-chain route (host_hmc vec_eval).  Mode
@@ -1261,6 +1267,17 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     if verbose:
         print(data.summary())
     return data
+
+
+def _converted_xy(cfg):
+    """Apply the (non-learnable) per-column conversions: the shared
+    prologue of every fixed-warping objective builder."""
+    n, nx = cfg.x.shape
+    xin = np.zeros((n, nx))
+    for i in range(nx):
+        xin[:, i] = np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
+    yin = np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
+    return xin, yin
 
 
 def _resolve_mcmc_block(n: int) -> int:
@@ -1334,21 +1351,15 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
     if mixed is None:
         mixed = is_tpu()
     if mesh is not None:
-        import numpy as _np
-
         from ..gp import sharded
 
-        n, nx = cfg.x.shape
+        n = cfg.x.shape[0]
         block = min(_resolve_mcmc_block(n), 256)
         if cfg.iwgp or cfg.cwgp:
             rvpack, nlp, _ = sharded.make_sharded_warped_objective(
                 mesh, cfg, block=block)
         else:
-            xin = _np.zeros((n, nx))
-            for i in range(nx):
-                xin[:, i] = _np.asarray(
-                    cfg.xconrevs[i].con(cfg.x[:, i]))
-            yin = _np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
+            xin, yin = _converted_xy(cfg)
             rvpack, nlp, _ = sharded.make_sharded_mixed_objective(
                 mesh, xin, yin, kerns=cfg.kerns, ops=cfg.ops,
                 noise=cfg.noise, truncate=cfg.truncate,
@@ -1381,15 +1392,10 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         def nlp(z):
             return -(_logl(z) + rvpack.log_prior(z))
     elif mixed:
-        import numpy as _np
-
         from ..gp import bigfit
 
-        n, nx = cfg.x.shape
-        xin = _np.zeros((n, nx))
-        for i in range(nx):
-            xin[:, i] = _np.asarray(cfg.xconrevs[i].con(cfg.x[:, i]))
-        yin = _np.asarray(cfg.yconrevs[0].con(cfg.y[:, 0]))
+        n = cfg.x.shape[0]
+        xin, yin = _converted_xy(cfg)
         # factorisation block: 256-capped measured best for the full
         # value+grad objective (block=512 at n=2048 was 18% SLOWER
         # end-to-end despite the bare NLML preferring larger blocks —

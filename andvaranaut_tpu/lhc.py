@@ -253,12 +253,16 @@ class _surrogate(LHC):
     def y_dist(self, mode="hist_kde", nsamps=None, return_data=False,
                surrogate=True, predictfun=None):
         """Forward-UQ propagation of a fresh LHC through an arbitrary
-        predict function (reference lhc.py:254-273)."""
+        predict function (reference lhc.py:254-273).  nsamps=None
+        defaults to 1000 — the reference crashes on its own default
+        (np.zeros((None, ...)), lhc.py:257)."""
         if not isinstance(surrogate, bool):
             raise Exception("Error: surrogate argument must be of type bool")
         if not surrogate:
             super().y_dist(mode)
             return
+        if nsamps is None:
+            nsamps = 1000
         xsamps = np.asarray(self._LHC__latin_sample(nsamps))
         xcons = _convert_columns(self.xconrevs, xsamps)
         ypreds = np.asarray(predictfun(xcons))

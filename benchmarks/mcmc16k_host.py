@@ -161,7 +161,13 @@ def main():
         inv_mass0 = np.asarray([float(s) for s in MASS.split(",")])
         print(f"pilot inv_mass: {inv_mass0}", flush=True)
     elif HESS_MASS:
-        inv_mass0 = host_hmc.map_diag_inv_mass(vg, z0)
+        if vec_fn is not None:
+            # probe through the batched program — the serial program
+            # then never compiles (~80 s saved)
+            inv_mass0 = host_hmc.map_diag_inv_mass_batched(
+                vec_fn, z0, CHAINS)
+        else:
+            inv_mass0 = host_hmc.map_diag_inv_mass(vg, z0)
         print(f"curvature inv_mass at start: {inv_mass0}", flush=True)
 
     t0 = time.time()
