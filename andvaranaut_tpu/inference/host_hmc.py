@@ -66,17 +66,17 @@ def _find_reasonable_eps(eval_ug, z, u, grad, inv_mass, rng,
     needs eps ~1e-3 where n=256 wants ~0.3), far outside what a short
     bounded-ADAM warmup can traverse from a fixed start.  Costs one
     value+grad launch per probe."""
-    r = rng.standard_normal(z.shape[0]) / np.sqrt(inv_mass)
-    h0 = u + 0.5 * float(np.dot(r * inv_mass, r))
+    r = _mass_draw(rng, inv_mass)
+    h0 = u + float(_mass_kinetic(r, inv_mass))
 
     def dh_at(eps):
         rn = r - 0.5 * eps * grad
-        zn = z + eps * inv_mass * rn
+        zn = z + eps * _mass_vel(inv_mass, rn)
         un, gn = eval_ug(zn)
         if not np.isfinite(un):
             return np.inf
         rn = rn - 0.5 * eps * gn
-        return un + 0.5 * float(np.dot(rn * inv_mass, rn)) - h0
+        return un + float(_mass_kinetic(rn, inv_mass)) - h0
 
     eps = eps0
     dh = dh_at(eps)
@@ -201,6 +201,69 @@ def _inv_mass_from_diag(h, floor, clip_max, rel_tol):
     return np.minimum(im, clip_max) if clip_max is not None else im
 
 
+class DenseMass:
+    """Dense (full-covariance) mass matrix for the host sampler.
+
+    Holds Sigma, the POSITION-covariance estimate (the inverse mass in
+    the PyMC convention): momenta are drawn r ~ N(0, Sigma^-1), the
+    kinetic energy is r' Sigma r / 2, and the leapfrog velocity is
+    Sigma r.  A diagonal mass cannot whiten CORRELATED posteriors —
+    the measured 16k regime: after diagonal whitening by the pilot
+    variances the hyperposterior keeps a ~3.4x residual condition
+    (docs/TPU_NOTES.md round 5), which short jittered trajectories
+    random-walk along.  All operations are dim x dim host-side NumPy
+    (dim ~ 4-10 for GP hyperposteriors) — free next to one objective
+    launch."""
+
+    def __init__(self, cov, ridge=0.0):
+        self.cov = np.asarray(cov, dtype=np.float64)
+        dim = self.cov.shape[0]
+        if ridge:
+            self.cov = self.cov + ridge * np.eye(dim)
+        self.chol = np.linalg.cholesky(self.cov)
+        self.chol_inv = np.linalg.inv(self.chol)
+
+    def draw(self, rng, *lead):
+        """r ~ N(0, Sigma^-1), shape (*lead, dim) (rows are draws)."""
+        xi = rng.standard_normal((*lead, self.cov.shape[0]))
+        return xi @ self.chol_inv  # row form of L^-T xi
+
+    def kinetic(self, r):
+        q = r @ self.chol
+        return 0.5 * np.sum(q * q, axis=-1)
+
+    def vel(self, r):
+        return r @ self.cov
+
+
+def _mass_draw(rng, im, *lead):
+    if isinstance(im, DenseMass):
+        return im.draw(rng, *lead)
+    return rng.standard_normal((*lead, np.shape(im)[-1])) / np.sqrt(im)
+
+
+def _mass_kinetic(r, im):
+    if isinstance(im, DenseMass):
+        return im.kinetic(r)
+    return 0.5 * np.sum(r * im * r, axis=-1)
+
+
+def _mass_vel(im, r):
+    if isinstance(im, DenseMass):
+        return im.vel(r)
+    return im * r
+
+
+def draws_dense_mass(z_draws, ridge=0.0):
+    """DenseMass from a pilot run's draws: the full sample covariance
+    (draws_inv_mass's dense analogue).  Correlated pilot draws
+    underestimate scale — the safe direction — but capture the
+    correlation DIRECTIONS that the diagonal estimator cannot."""
+    z = np.asarray(z_draws, dtype=np.float64)
+    z = z.reshape(-1, z.shape[-1])
+    return DenseMass(np.cov(z.T), ridge=ridge)
+
+
 def draws_inv_mass(z_draws, floor=1e-12):
     """Diagonal inverse mass from a pilot run's draws.
 
@@ -233,17 +296,17 @@ def _find_reasonable_eps_batched(eval_vec, Z, us, grads, IM, rng,
     along as wasted lanes — the search is <= ~15 probes total vs one
     launch per probe PER CHAIN serially)."""
     C, dim = Z.shape
-    R = rng.standard_normal((C, dim)) / np.sqrt(IM)
-    h0 = us + 0.5 * np.sum(R * IM * R, axis=1)
+    R = _mass_draw(rng, IM, C)
+    h0 = us + _mass_kinetic(R, IM)
     log2 = float(np.log(2.0))
 
     def probe(eps):
         Rh = R - 0.5 * eps[:, None] * grads
-        Zp = Z + eps[:, None] * IM * Rh
+        Zp = Z + eps[:, None] * _mass_vel(IM, Rh)
         up_, gp_ = eval_vec(Zp)
         Rh = Rh - 0.5 * eps[:, None] * gp_
         dh = np.where(np.isfinite(up_),
-                      up_ + 0.5 * np.sum(Rh * IM * Rh, axis=1) - h0,
+                      up_ + _mass_kinetic(Rh, IM) - h0,
                       np.inf)
         return dh
 
@@ -297,10 +360,13 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
     depths = np.empty((C, num_samples), dtype=np.int64)
     eps_out = np.empty((C, num_samples))
 
-    IM = np.broadcast_to(
-        np.ones(dim) if inv_mass0 is None
-        else np.asarray(inv_mass0, dtype=np.float64).reshape(-1),
-        (C, dim)).copy()
+    if isinstance(inv_mass0, DenseMass):
+        IM = inv_mass0
+    else:
+        IM = np.broadcast_to(
+            np.ones(dim) if inv_mass0 is None
+            else np.asarray(inv_mass0, dtype=np.float64).reshape(-1),
+            (C, dim)).copy()
     Z = z0[None, :] + rng.uniform(-jitter_init, jitter_init,
                                   size=(C, dim))
     U, G = eval_vec(Z)
@@ -329,15 +395,15 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
         else:
             u_draw = 0.0
             nleap = int(rng.integers(1, budget + 1))
-        R = rng.standard_normal((C, dim)) / np.sqrt(IM)
-        h0 = U + 0.5 * np.sum(R * IM * R, axis=1)
+        R = _mass_draw(rng, IM, C)
+        h0 = U + _mass_kinetic(R, IM)
         Z_start = Z.copy()
         Zn, Un, Gn, Rn = Z.copy(), U.copy(), G.copy(), R.copy()
         alive = np.ones(C, dtype=bool)
         for _ in range(nleap):
             Rh = Rn - 0.5 * eps[:, None] * Gn
             Zp = np.where(alive[:, None],
-                          Zn + eps[:, None] * IM * Rh, Zn)
+                          Zn + eps[:, None] * _mass_vel(IM, Rh), Zn)
             up_, gp_ = eval_vec(Zp)
             ok = alive & np.isfinite(up_)
             Rh = Rh - 0.5 * eps[:, None] * gp_
@@ -348,7 +414,7 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
             alive = ok
             if not alive.any():
                 break
-        h1 = Un + 0.5 * np.sum(Rn * IM * Rn, axis=1)
+        h1 = Un + _mass_kinetic(Rn, IM)
         dh = np.where(alive, h1 - h0, np.inf)
         diverged = ~alive | (dh > max_delta_h)
         accept_prob = np.where(dh <= 0.0, 1.0,
@@ -372,7 +438,7 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
                         and t > grace + grace_len):
                     d1 = Zn[c] - zb_mean
                     d0 = Z_start[c] - zb_mean
-                    v1 = IM[c] * Rn[c]
+                    v1 = _mass_vel(IM, Rn)[c]
                     dCdt = ((np.dot(d1, d1) - np.dot(d0, d0))
                             * np.dot(d1, v1))
                     g = (dCdt * u_draw * float(accept_prob[c])
@@ -502,15 +568,20 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             jitter_init=jitter_init, seed=seed,
             max_delta_h=max_delta_h, adapt_tlen=False,
             callback=callback, vec_eval=vec_eval)
-        inv_mass0 = draws_inv_mass(pres["z"])
+        # DENSE pilot mass: the sample covariance also captures the
+        # correlation directions a diagonal estimate cannot (the
+        # measured 16k residual ~3.4x condition after diagonal
+        # whitening, docs/TPU_NOTES.md round 5)
+        inv_mass0 = draws_dense_mass(pres["z"])
         best = np.unravel_index(int(np.argmax(pres["lp"])),
                                 pres["lp"].shape)
         z0 = pres["z"][best]
         adapt_mass = False
         # re-jitter at POSTERIOR scale: the default jitter_init=1.0 is
         # 30-90 posterior stds at 16k and would undo the bulk restart
-        jitter_init = float(min(jitter_init,
-                                2.0 * np.sqrt(np.max(inv_mass0))))
+        jitter_init = float(min(
+            jitter_init,
+            2.0 * np.sqrt(np.max(np.diag(inv_mass0.cov)))))
         seed = (int(seed) + 1000003) if np.isscalar(seed) else seed
     rng = np.random.default_rng(seed)
     z0 = np.asarray(z0, dtype=np.float64).reshape(-1)
@@ -548,8 +619,11 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     depths = np.empty((num_chains, num_samples), dtype=np.int64)
     eps_out = np.empty((num_chains, num_samples))
 
-    im0 = (np.ones(dim) if inv_mass0 is None
-           else np.asarray(inv_mass0, dtype=np.float64).reshape(-1))
+    if isinstance(inv_mass0, DenseMass):
+        im0 = inv_mass0
+    else:
+        im0 = (np.ones(dim) if inv_mass0 is None
+               else np.asarray(inv_mass0, dtype=np.float64).reshape(-1))
     chains = []
     for c in range(num_chains):
         z = z0 + rng.uniform(-jitter_init, jitter_init, size=dim)
@@ -558,7 +632,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             eps0 if eps0 is not None else _find_reasonable_eps(
                 eval_ug, z, u, grad, im0, rng))
         st = _ChainState(z, u, grad, adam, dim)
-        st.inv_mass = im0.copy()
+        st.inv_mass = im0 if isinstance(im0, DenseMass) else im0.copy()
         chains.append(st)
 
     # shared ChEES state: log mean trajectory length IN LEAPFROG STEPS
@@ -588,14 +662,14 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             else:
                 u_draw = 0.0
                 nleap = int(rng.integers(1, budget + 1))
-            r = rng.standard_normal(dim) / np.sqrt(st.inv_mass)
-            h0 = st.u + 0.5 * float(np.dot(r * st.inv_mass, r))
+            r = _mass_draw(rng, st.inv_mass)
+            h0 = st.u + float(_mass_kinetic(r, st.inv_mass))
             z_start = st.z
             zn, un, gn, rn = st.z, st.u, st.grad, r
             diverged = False
             for _ in range(nleap):
                 rn = rn - 0.5 * eps * gn
-                zn = zn + eps * st.inv_mass * rn
+                zn = zn + eps * _mass_vel(st.inv_mass, rn)
                 un, gn = eval_ug(zn)
                 rn = rn - 0.5 * eps * gn
                 if not np.isfinite(un):
@@ -604,7 +678,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             if diverged:
                 accept_prob, accepted = 0.0, False
             else:
-                h1 = un + 0.5 * float(np.dot(rn * st.inv_mass, rn))
+                h1 = un + float(_mass_kinetic(rn, st.inv_mass))
                 dh = h1 - h0
                 diverged = dh > max_delta_h
                 accept_prob = (1.0 if dh <= 0.0
@@ -628,7 +702,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     # PROPOSAL (accepted or not), nuts.py:644-649
                     d1 = zn - zb_mean
                     d0 = z_start - zb_mean
-                    v1 = st.inv_mass * rn
+                    v1 = _mass_vel(st.inv_mass, rn)
                     dCdt = ((np.dot(d1, d1) - np.dot(d0, d0))
                             * np.dot(d1, v1))
                     g = (dCdt * u_draw * accept_prob

@@ -157,7 +157,16 @@ def main():
                         + " ".join(f"{v:.10g}" for v in z) + "\n")
 
     inv_mass0 = None
-    if MASS:
+    mass_log = os.environ.get("MCMC_MASS_LOG", "")
+    if mass_log:
+        # DENSE mass from a previous run's draws log (cols 3: are z):
+        # captures the correlation directions the diagonal MCMC_MASS
+        # cannot (the measured ~3.4x residual condition at 16k)
+        zpilot = np.loadtxt(mass_log)[:, 3:]
+        inv_mass0 = host_hmc.draws_dense_mass(zpilot)
+        print(f"dense pilot mass from {mass_log} "
+              f"({zpilot.shape[0]} draws):\n{inv_mass0.cov}", flush=True)
+    elif MASS:
         inv_mass0 = np.asarray([float(s) for s in MASS.split(",")])
         print(f"pilot inv_mass: {inv_mass0}", flush=True)
     elif HESS_MASS:
