@@ -161,11 +161,22 @@ def main():
     if mass_log:
         # DENSE mass from a previous run's draws log (cols 3: are z):
         # captures the correlation directions the diagonal MCMC_MASS
-        # cannot (the measured ~3.4x residual condition at 16k)
-        zpilot = np.loadtxt(mass_log)[:, 3:]
+        # cannot (the measured ~3.4x residual condition at 16k).
+        # MCMC_MASS_WITHIN=1 centres each chain before pooling — the
+        # pooled covariance of UNMIXED chains is inflated 1.5-2.4x by
+        # between-chain spread (measured round 5), and an oversized
+        # mass overshoots (conservative-small is the safe direction)
+        rows = np.loadtxt(mass_log)
+        zpilot = rows[:, 3:]
+        if os.environ.get("MCMC_MASS_WITHIN", "0") == "1":
+            for c in np.unique(rows[:, 0]):
+                sel = rows[:, 0] == c
+                zpilot[sel] -= zpilot[sel].mean(axis=0)
         inv_mass0 = host_hmc.draws_dense_mass(zpilot)
         print(f"dense pilot mass from {mass_log} "
-              f"({zpilot.shape[0]} draws):\n{inv_mass0.cov}", flush=True)
+              f"({zpilot.shape[0]} draws, within="
+              f"{os.environ.get('MCMC_MASS_WITHIN', '0')}):\n"
+              f"{inv_mass0.cov}", flush=True)
     elif MASS:
         inv_mass0 = np.asarray([float(s) for s in MASS.split(",")])
         print(f"pilot inv_mass: {inv_mass0}", flush=True)
