@@ -326,6 +326,58 @@ def _find_reasonable_eps_batched(eval_vec, Z, us, grads, IM, rng,
     return eps
 
 
+def _trajectory_eps_backoff(eval_vec, Z, us, grads, IM, rng, eps,
+                            nleap, target=0.65, max_halvings=4):
+    """Refine the 1-leapfrog reasonable eps against FULL-LENGTH
+    trajectories: integrate nleap leapfrogs per lane and halve any
+    lane's eps whose end-to-end acceptance falls below `target`.
+
+    Why: the doubling search calibrates a SINGLE leapfrog (accept
+    ~0.5-0.9 there), but leapfrog energy error compounds over an
+    L-step trajectory — at 16k/budget-24 the measured result was
+    accept ~0.4 after a 25-transition ADAM tail that could not close
+    the gap (log-eps moves ~0.05/transition).  A handful of
+    budget-length probes (each nleap batched launches) lands eps in
+    the multi-step regime BEFORE warmup, so the ADAM only fine-tunes.
+    Costs max_halvings x nleap launches worst-case; lanes already
+    above target stop probing (their lanes ride along)."""
+    C, dim = Z.shape
+
+    def traj_dh(eps_vec):
+        R = _mass_draw(rng, IM, C)
+        h0 = us + _mass_kinetic(R, IM)
+        Zn, Gn, Rn = Z.copy(), grads.copy(), R
+        Un = us.copy()
+        alive = np.ones(C, dtype=bool)
+        for _ in range(int(nleap)):
+            Rh = Rn - 0.5 * eps_vec[:, None] * Gn
+            Zp = np.where(alive[:, None],
+                          Zn + eps_vec[:, None] * _mass_vel(IM, Rh),
+                          Zn)
+            up_, gp_ = eval_vec(Zp)
+            ok = alive & np.isfinite(up_)
+            Rh = Rh - 0.5 * eps_vec[:, None] * gp_
+            Zn = np.where(ok[:, None], Zp, Zn)
+            Un = np.where(ok, up_, Un)
+            Gn = np.where(ok[:, None], gp_, Gn)
+            Rn = np.where(ok[:, None], Rh, Rn)
+            alive = ok
+            if not alive.any():
+                break
+        h1 = Un + _mass_kinetic(Rn, IM)
+        return np.where(alive, h1 - h0, np.inf)
+
+    for _ in range(max_halvings):
+        dh = traj_dh(eps)
+        acc = np.where(dh <= 0.0, 1.0,
+                       np.exp(-np.minimum(np.maximum(dh, 0.0), 700.0)))
+        low = acc < target
+        if not low.any():
+            break
+        eps = np.where(low, eps * 0.5, eps)
+    return eps
+
+
 def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
                       num_chains, target_accept, budget, eps0,
                       jitter_init, seed, max_delta_h, chees, callback,
@@ -373,6 +425,14 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
     eps_init = (np.full(C, float(eps0)) if eps0 is not None
                 else _find_reasonable_eps_batched(eval_vec, Z, U, G,
                                                   IM, rng))
+    if eps0 is None and not adapt_mass:
+        # fixed-mass production runs tune eps ONLY during warmup; the
+        # 1-leapfrog search value must first be backed off into the
+        # multi-step regime (full story in _trajectory_eps_backoff)
+        eps_init = _trajectory_eps_backoff(
+            eval_vec, Z, U, G, IM, rng, eps_init,
+            nleap=max(4, budget // 2),
+            target=min(0.65, target_accept))
     adams = [_AdamEps(float(e)) for e in eps_init]
     # pooled Welford (all chains' positions feed one window)
     w_n, w_mean, w_m2 = 0, np.zeros(dim), np.zeros(dim)

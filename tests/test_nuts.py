@@ -1163,3 +1163,47 @@ def test_pilot_two_stage_dense_correlated():
     z = res["z"].reshape(-1, 2)
     np.testing.assert_allclose(z.std(axis=0), scales, rtol=0.2)
     assert abs(np.corrcoef(z.T)[0, 1] - 0.9) < 0.1
+
+
+def test_trajectory_eps_backoff():
+    """The full-trajectory eps backoff halves a step size that is
+    1-leapfrog-stable but loses acceptance over an L-step trajectory,
+    and leaves a safe step size untouched."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    dim, C = 4, 4
+    vec_eval = _batched_gaussian(np.ones(dim))
+    Z = np.random.default_rng(0).standard_normal((C, dim)) * 0.3
+    us, gs = vec_eval(Z)
+    IM = np.ones((C, dim))
+    rng = np.random.default_rng(1)
+    big = np.full(C, 1.9)  # near the leapfrog stability limit
+    out = host_hmc._trajectory_eps_backoff(
+        vec_eval, Z, us, gs, IM, rng, big.copy(), nleap=16)
+    assert (out < big).all()
+    small = np.full(C, 0.3)
+    out2 = host_hmc._trajectory_eps_backoff(
+        vec_eval, Z, us, gs, IM, np.random.default_rng(2),
+        small.copy(), nleap=16)
+    np.testing.assert_allclose(out2, small)
+
+
+def test_batched_fixed_mass_uses_backoff(monkeypatch):
+    """Fixed-mass batched runs route their initial eps through the
+    trajectory backoff (eps0=None, adapt_mass=False)."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    called = {}
+    real = host_hmc._trajectory_eps_backoff
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(host_hmc, "_trajectory_eps_backoff", spy)
+    scales = np.asarray([0.5, 2.0])
+    host_hmc.hmc_host_sample(
+        None, np.zeros(2), num_warmup=10, num_samples=10,
+        num_chains=4, budget=8, seed=1, inv_mass0=scales ** 2,
+        adapt_mass=False, vec_eval=_batched_gaussian(scales))
+    assert called.get("yes")
