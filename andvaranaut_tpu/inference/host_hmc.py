@@ -381,7 +381,7 @@ def _trajectory_eps_backoff(eval_vec, Z, us, grads, IM, rng, eps,
 def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
                       num_chains, target_accept, budget, eps0,
                       jitter_init, seed, max_delta_h, chees, callback,
-                      on_draw, inv_mass0, adapt_mass):
+                      on_draw, inv_mass0, adapt_mass, betas=None):
     """Lockstep-batched transitions: all chains share each
     transition's trajectory length (the ChEES-HMC convention) and ONE
     vmapped value+grad launch advances every chain a leapfrog.  At 16k
@@ -393,6 +393,25 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
     the other chains integrate on.  The Welford mass window is POOLED
     across chains (C x the draws per window — the serial sampler's
     correlated short window was the measured 16k accept collapse).
+
+    betas: optional (C,) per-lane inverse temperatures — parallel
+    tempering over the lockstep lanes.  A lane with beta < 1 samples
+    the FLATTENED target exp(-beta*U) (same batched launch: the
+    tempering is a host-side scale on U and grad), and after every
+    transition adjacent temperature pairs propose a state swap with
+    log-acceptance (beta_a - beta_b) * (U_a - U_b) — FREE, off the
+    cached untempered U.  Pairing alternates even/odd ladder edges
+    (deterministic-even-odd, the round-trip-optimal non-reversible
+    schedule); with several cold lanes the ladder's junction cold lane
+    rotates per transition so every cold chain drinks from the hot
+    stream.  Only cold (beta == 1) lanes are recorded/returned.  This
+    is the between-chain-exchange fix for the measured 16k failure
+    mode (chains pinned in a ~5-nat-wide posterior basin, lp means
+    spanning 51929.9-51935.2 across every mass-matrix configuration —
+    docs/TPU_NOTES.md round 5): hot lanes cross the basin (at beta=0.25
+    a 5-nat barrier is ~1 nat) and the swap ladder carries those
+    crossings into the cold chains.  Mass/ChEES statistics pool COLD
+    lanes only (hot-lane variance is inflated by design).
     """
     rng = np.random.default_rng(seed)
     z0 = np.asarray(z0, dtype=np.float64).reshape(-1)
@@ -400,17 +419,38 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
     C = num_chains
     apply_at = max(1, int(0.6 * num_warmup))
 
+    if betas is None:
+        betas = np.ones(C)
+    else:
+        betas = np.asarray(betas, dtype=np.float64).reshape(-1)
+    cold = betas >= 1.0 - 1e-12
+    cold_idx = np.flatnonzero(cold)
+    n_cold = int(cold_idx.size)
+    tempered = n_cold < C
+    # hot lanes ordered by descending beta: ladder adjacency = maximal
+    # tempered-density overlap between swap partners
+    hot_idx = np.flatnonzero(~cold)
+    hot_idx = hot_idx[np.argsort(-betas[hot_idx], kind="stable")]
+    swap_try = np.zeros(max(hot_idx.size, 1))
+    swap_acc = np.zeros(max(hot_idx.size, 1))
+
     def eval_vec(Z):
         us, gs = vec_eval(Z)
         return (np.asarray(us, dtype=np.float64),
                 np.asarray(gs, dtype=np.float64))
 
-    zs = np.empty((C, num_samples, dim))
-    lps = np.empty((C, num_samples))
-    divs = np.zeros((C, num_samples), dtype=bool)
-    accs = np.empty((C, num_samples))
-    depths = np.empty((C, num_samples), dtype=np.int64)
-    eps_out = np.empty((C, num_samples))
+    def eval_temp(Z):
+        # tempered view for the eps searches (they treat the
+        # objective as a black box: potential AND grad scaled)
+        us, gs = eval_vec(Z)
+        return betas * us, betas[:, None] * gs
+
+    zs = np.empty((n_cold, num_samples, dim))
+    lps = np.empty((n_cold, num_samples))
+    divs = np.zeros((n_cold, num_samples), dtype=bool)
+    accs = np.empty((n_cold, num_samples))
+    depths = np.empty((n_cold, num_samples), dtype=np.int64)
+    eps_out = np.empty((n_cold, num_samples))
 
     if isinstance(inv_mass0, DenseMass):
         IM = inv_mass0
@@ -423,15 +463,16 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
                                   size=(C, dim))
     U, G = eval_vec(Z)
     eps_init = (np.full(C, float(eps0)) if eps0 is not None
-                else _find_reasonable_eps_batched(eval_vec, Z, U, G,
-                                                  IM, rng))
+                else _find_reasonable_eps_batched(
+                    eval_temp, Z, betas * U, betas[:, None] * G,
+                    IM, rng))
     if eps0 is None and not adapt_mass:
         # fixed-mass production runs tune eps ONLY during warmup; the
         # 1-leapfrog search value must first be backed off into the
         # multi-step regime (full story in _trajectory_eps_backoff)
         eps_init = _trajectory_eps_backoff(
-            eval_vec, Z, U, G, IM, rng, eps_init,
-            nleap=max(4, budget // 2),
+            eval_temp, Z, betas * U, betas[:, None] * G, IM, rng,
+            eps_init, nleap=max(4, budget // 2),
             target=min(0.65, target_accept))
     adams = [_AdamEps(float(e)) for e in eps_init]
     # pooled Welford (all chains' positions feed one window)
@@ -456,17 +497,17 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
             u_draw = 0.0
             nleap = int(rng.integers(1, budget + 1))
         R = _mass_draw(rng, IM, C)
-        h0 = U + _mass_kinetic(R, IM)
+        h0 = betas * U + _mass_kinetic(R, IM)
         Z_start = Z.copy()
         Zn, Un, Gn, Rn = Z.copy(), U.copy(), G.copy(), R.copy()
         alive = np.ones(C, dtype=bool)
         for _ in range(nleap):
-            Rh = Rn - 0.5 * eps[:, None] * Gn
+            Rh = Rn - 0.5 * eps[:, None] * (betas[:, None] * Gn)
             Zp = np.where(alive[:, None],
                           Zn + eps[:, None] * _mass_vel(IM, Rh), Zn)
             up_, gp_ = eval_vec(Zp)
             ok = alive & np.isfinite(up_)
-            Rh = Rh - 0.5 * eps[:, None] * gp_
+            Rh = Rh - 0.5 * eps[:, None] * (betas[:, None] * gp_)
             Zn = np.where(ok[:, None], Zp, Zn)
             Un = np.where(ok, up_, Un)
             Gn = np.where(ok[:, None], gp_, Gn)
@@ -474,20 +515,49 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
             alive = ok
             if not alive.any():
                 break
-        h1 = Un + _mass_kinetic(Rn, IM)
+        h1 = betas * Un + _mass_kinetic(Rn, IM)
         dh = np.where(alive, h1 - h0, np.inf)
         diverged = ~alive | (dh > max_delta_h)
+        # clip below at 0 too: np.where evaluates both branches, and
+        # exp(-dh) of a very negative dh overflows (warning spew) even
+        # though the <= 0 branch masks it
         accept_prob = np.where(dh <= 0.0, 1.0,
-                               np.exp(-np.minimum(dh, 700.0)))
+                               np.exp(-np.clip(dh, 0.0, 700.0)))
         accept_prob = np.where(np.isfinite(dh), accept_prob, 0.0)
         accepted = ~diverged & (rng.uniform(size=C) < accept_prob)
         Z = np.where(accepted[:, None], Zn, Z)
         U = np.where(accepted, Un, U)
         G = np.where(accepted[:, None], Gn, G)
 
+        if tempered:
+            # replica-exchange sweep: even/odd alternating ladder
+            # edges (DEO); the junction cold lane rotates so every
+            # cold chain receives swaps.  Exchanges (z, U, grad) —
+            # beta and the per-lane eps adaptation stay with the SLOT
+            # (a hot slot's eps is tuned for its flattened target).
+            # The junction rotates on a HALF-SPEED clock: the
+            # cold<->hot edge (ladder position 0) only fires on even
+            # DEO sweeps, so a t%n_cold rotation with even n_cold
+            # aliases — the junction would always be the same lane on
+            # the sweeps that include edge 0 and the other cold lanes
+            # would never swap (caught by the bimodal mixing test).
+            jc = int(cold_idx[(t // 2) % n_cold])
+            ladder = np.concatenate(([jc], hot_idx))
+            for k in range(t % 2, ladder.size - 1, 2):
+                a, b = int(ladder[k]), int(ladder[k + 1])
+                la = (betas[a] - betas[b]) * (U[a] - U[b])
+                swap_try[k] += 1
+                if np.log(rng.uniform()) < la:
+                    swap_acc[k] += 1
+                    Z[[a, b]] = Z[[b, a]]
+                    U[[a, b]] = U[[b, a]]
+                    G[[a, b]] = G[[b, a]]
+
         if warm:
             for c in range(C):
                 adams[c].update(float(accept_prob[c]), target_accept)
+                if not cold[c]:
+                    continue
                 w_n += 1
                 delta = Z[c] - w_mean
                 w_mean = w_mean + delta / w_n
@@ -523,7 +593,8 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
                 eps_new = (np.full(C, float(eps0))
                            if eps0 is not None
                            else _find_reasonable_eps_batched(
-                               eval_vec, Z, U, G, IM, rng))
+                               eval_temp, Z, betas * U,
+                               betas[:, None] * G, IM, rng))
                 adams = [_AdamEps(float(e)) for e in eps_new]
                 if num_warmup - apply_at >= 40:
                     log_nmean = float(np.log(max(budget / 4.0, 2.0)))
@@ -534,19 +605,19 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
                     2, (num_warmup - apply_at) // 3))
         else:
             i = t - num_warmup
-            for c in range(C):
-                zs[c, i] = Z[c]
-                lps[c, i] = -U[c]
-                divs[c, i] = diverged[c]
-                accs[c, i] = accept_prob[c]
-                depths[c, i] = nleap
-                eps_out[c, i] = eps[c]
+            for ci, c in enumerate(cold_idx):
+                zs[ci, i] = Z[c]
+                lps[ci, i] = -U[c]
+                divs[ci, i] = diverged[c]
+                accs[ci, i] = accept_prob[c]
+                depths[ci, i] = nleap
+                eps_out[ci, i] = eps[c]
                 if on_draw is not None:
-                    on_draw(c, i, Z[c], -U[c])
+                    on_draw(ci, i, Z[c], -U[c])
         if callback is not None:
             callback(-1, t, "warmup" if warm else "sample")
 
-    return {
+    out = {
         "z": zs,
         "lp": lps,
         "diverging": divs,
@@ -554,6 +625,10 @@ def _hmc_host_batched(vec_eval, z0, *, num_warmup, num_samples,
         "depth": depths,
         "eps": eps_out,
     }
+    if tempered:
+        out["betas"] = betas
+        out["swap_accept"] = swap_acc / np.maximum(swap_try, 1.0)
+    return out
 
 
 def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
@@ -561,7 +636,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
                     eps0=None, jitter_init=1.0, seed=0,
                     max_delta_h=1000.0, adapt_tlen=None, callback=None,
                     on_draw=None, inv_mass0=None, adapt_mass=True,
-                    vec_eval=None, pilot=0):
+                    vec_eval=None, pilot=0, betas=None):
     """Jittered-trajectory HMC with a host-side integrator.
 
     u_and_grad: z -> (U, dU/dz) with U = -log posterior (unconstrained).
@@ -616,10 +691,36 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
     variances are the estimand itself.  Ignored when inv_mass0 is
     given.
 
+    betas: optional (num_chains,) per-lane inverse temperatures —
+    parallel tempering over the batched lanes (requires vec_eval and
+    >= 2 lanes; see _hmc_host_batched).  Lanes with beta == 1 are the
+    returned chains; beta < 1 lanes sample flattened targets and feed
+    the cold chains through free host-side replica-exchange swaps —
+    the between-chain mixing lever for wide flat posterior basins
+    (the measured 16k regime).  The result dict then also carries
+    'betas' and 'swap_accept' (per-ladder-edge swap rates).
+
     Returns the nuts_sample dict schema: z (chains, draws, dim), lp,
     diverging, accept, depth (actual leapfrog count per transition),
-    eps — so MCMCData / sample_rvpack consume it unchanged.
+    eps — so MCMCData / sample_rvpack consume it unchanged.  Under
+    tempering, 'chains' = the number of COLD lanes.
     """
+    n_cold = num_chains
+    if betas is not None:
+        betas = np.asarray(betas, dtype=np.float64).reshape(-1)
+        if vec_eval is None or num_chains < 2:
+            raise ValueError(
+                "betas (parallel tempering) requires the batched "
+                "multi-chain route: vec_eval and num_chains >= 2")
+        if betas.shape[0] != num_chains:
+            raise ValueError(
+                f"betas must have one entry per lane: got "
+                f"{betas.shape[0]} for num_chains={num_chains}")
+        if not ((betas > 0.0) & (betas <= 1.0)).all():
+            raise ValueError("betas must lie in (0, 1]")
+        n_cold = int((betas >= 1.0 - 1e-12).sum())
+        if n_cold == 0:
+            raise ValueError("betas needs >= 1 cold lane (beta == 1)")
     if pilot and inv_mass0 is None:
         pres = hmc_host_sample(
             u_and_grad, z0, num_warmup=int(pilot),
@@ -627,7 +728,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             target_accept=target_accept, budget=budget, eps0=eps0,
             jitter_init=jitter_init, seed=seed,
             max_delta_h=max_delta_h, adapt_tlen=False,
-            callback=callback, vec_eval=vec_eval)
+            callback=callback, vec_eval=vec_eval, betas=betas)
         # DENSE pilot mass: the sample covariance also captures the
         # correlation directions a diagonal estimate cannot (the
         # measured 16k residual ~3.4x condition after diagonal
@@ -655,9 +756,9 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             "criterion is defined against the CROSS-chain mean); "
             "falling back to uniform trajectory jitter.", stacklevel=2)
     if adapt_tlen is None:
-        chees = num_chains >= 2 and num_warmup >= 100 and budget >= 16
+        chees = n_cold >= 2 and num_warmup >= 100 and budget >= 16
     else:
-        chees = bool(adapt_tlen) and num_chains >= 2
+        chees = bool(adapt_tlen) and n_cold >= 2
     if vec_eval is not None and num_chains >= 2:
         return _hmc_host_batched(
             vec_eval, z0, num_warmup=num_warmup,
@@ -666,7 +767,7 @@ def hmc_host_sample(u_and_grad, z0, *, num_warmup=50, num_samples=50,
             jitter_init=jitter_init, seed=seed,
             max_delta_h=max_delta_h, chees=chees, callback=callback,
             on_draw=on_draw, inv_mass0=inv_mass0,
-            adapt_mass=adapt_mass)
+            adapt_mass=adapt_mass, betas=betas)
 
     def eval_ug(z):
         u, g = u_and_grad(z)

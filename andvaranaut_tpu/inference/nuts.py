@@ -1151,7 +1151,7 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
                   z0=None, verbose=False, sampler=None,
                   steps_per_call=100, adapt_tlen=True,
                   curvature_mass=False, vec="vmap",
-                  pilot=0) -> "MCMCData":
+                  pilot=0, temper=0, beta_min=0.25) -> "MCMCData":
     """Run NUTS/HMC over an RVPack's unconstrained space and unpack draws
     into constrained posterior arrays.
 
@@ -1171,6 +1171,15 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     pilot ('hmc_host'): > 0 runs the two-stage pilot-mass schedule
     (host_hmc.hmc_host_sample pilot=) — the measured large-n recipe
     where in-warmup Welford mass fails.
+    temper ('hmc_host', batched): > 0 adds `temper` parallel-tempering
+    lanes on a geometric inverse-temperature ladder down to beta_min
+    (host_hmc betas=) — the `chains` cold chains plus `temper` hot
+    lanes all advance in the one batched launch, and free host-side
+    replica-exchange swaps carry basin-crossing states from the hot
+    lanes into the cold chains (the between-chain mixing lever for
+    wide flat posterior basins — the measured 16k regime,
+    docs/TPU_NOTES.md round 5).  Returned MCMCData has `chains`
+    chains, as without tempering.
     curvature_mass: for 'hmc_host' with a warm z0 (a MAP point): fix
     the mass matrix to the finite-difference curvature at z0
     (host_hmc.map_diag_inv_mass, 2*dim extra launches) and skip Welford
@@ -1207,6 +1216,19 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
             raise ValueError(
                 f"vec / ANDVARANAUT_MCMC_VEC must be one of "
                 f"'vmap', 'map', '0'; got {mode!r}")
+        betas = None
+        if temper:
+            if mode == "0":
+                raise ValueError(
+                    "temper requires the batched route (vec 'vmap' "
+                    "or 'map'), not vec='0'")
+            # geometric hot ladder below the cold chains: e.g.
+            # temper=4, beta_min=0.25 -> 0.71, 0.50, 0.35, 0.25
+            betas = np.concatenate([
+                np.ones(chains),
+                float(beta_min) ** (np.arange(1, int(temper) + 1)
+                                    / float(temper))])
+            chains = chains + int(temper)
         if chains >= 2 and mode != "0":
             # one batched launch advances ALL chains a leapfrog — the
             # lockstep multi-chain route (host_hmc vec_eval).  Mode
@@ -1242,7 +1264,7 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
             num_samples=draws, num_chains=chains,
             target_accept=target_accept, budget=2 ** max_treedepth,
             seed=random_seed, inv_mass0=im0, adapt_mass=im0 is None,
-            vec_eval=vec_fn, pilot=pilot)
+            vec_eval=vec_fn, pilot=pilot, betas=betas)
     else:
         res = nuts_sample(
             logp, z0, key=jax.random.PRNGKey(random_seed),
@@ -1298,7 +1320,8 @@ def _resolve_mcmc_block(n: int) -> int:
 def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
                  random_seed=0, max_treedepth=10, verbose=False,
                  mixed=None, sampler=None, steps_per_call=100,
-                 adapt_tlen=True, mesh=None, pilot=0, **kwargs):
+                 adapt_tlen=True, mesh=None, pilot=0, temper=0,
+                 beta_min=0.25, **kwargs):
     """NUTS/HMC posterior over a FitConfig's hyperparameters — the
     engine-level analogue of pm.sample inside __fit (gpmcmc.py:351).
 
@@ -1433,7 +1456,8 @@ def sample_model(cfg, draws=1000, tune=1000, chains=4, target_accept=0.8,
         # a warm start is (almost always) a fitted MAP point: fix the
         # host sampler's mass to the curvature there instead of a
         # short-warmup Welford estimate (no-op for compiled samplers)
-        curvature_mass=warm, pilot=pilot,
+        curvature_mass=warm, pilot=pilot, temper=temper,
+        beta_min=beta_min,
         # chain batching: lax.map above the measured vmap
         # compile-death boundary (vmap green through n=8192, dead at
         # 16384 — benchmarks/vec16k_probe*.py)

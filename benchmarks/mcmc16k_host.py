@@ -55,6 +55,13 @@ JITTER = float(os.environ.get("MCMC_JITTER", "1.0"))
 TLEN = os.environ.get("MCMC_TLEN", "")
 #: > 0 = two-stage pilot-mass schedule (host_hmc pilot=)
 PILOT = int(os.environ.get("MCMC_PILOT", "0"))
+#: > 0 = parallel tempering: this many EXTRA hot lanes on a geometric
+#: inverse-temperature ladder down to MCMC_BETA_MIN ride in the same
+#: batched launch; free host-side replica-exchange swaps feed the
+#: CHAINS cold chains — the between-chain mixing lever for the
+#: measured ~5-nat-wide 16k posterior basin (docs/TPU_NOTES.md r5).
+TEMPER = int(os.environ.get("MCMC_TEMPER", "0"))
+BETA_MIN = float(os.environ.get("MCMC_BETA_MIN", "0.25"))
 
 
 def make_data(n, nx=2, seed=0):
@@ -89,7 +96,17 @@ def main():
         print(f"starting at {v}", flush=True)
     else:
         z0 = np.asarray(rvpack.z0())
-    vec_active = (CHAINS >= 2
+    betas = None
+    lanes = CHAINS
+    if TEMPER:
+        betas = np.concatenate([
+            np.ones(CHAINS),
+            BETA_MIN ** (np.arange(1, TEMPER + 1) / TEMPER)])
+        lanes = CHAINS + TEMPER
+        print(f"tempering: {CHAINS} cold + {TEMPER} hot lanes, "
+              f"betas {np.array2string(betas, precision=3)}",
+              flush=True)
+    vec_active = (lanes >= 2
                   and os.environ.get("MCMC_VEC", "map") != "0")
     if not vec_active:
         # the serial program only compiles when it will actually run
@@ -118,7 +135,10 @@ def main():
     # n <= 8192), 'vmap', or '0' for serial chains.
     vec_mode = os.environ.get("MCMC_VEC", "map")
     vec_fn = None
-    if CHAINS >= 2 and vec_mode != "0":
+    if TEMPER and vec_mode == "0":
+        raise SystemExit("MCMC_TEMPER requires the batched route "
+                         "(MCMC_VEC map or vmap)")
+    if lanes >= 2 and vec_mode != "0":
         vg_one = jax.value_and_grad(nlp)
         if vec_mode == "vmap":
             vec_vg = jax.jit(jax.vmap(vg_one))
@@ -135,10 +155,10 @@ def main():
             return us, gs
 
         t0 = time.time()
-        us0, _ = vec_fn(np.broadcast_to(z0, (CHAINS, z0.size)).copy())
+        us0, _ = vec_fn(np.broadcast_to(z0, (lanes, z0.size)).copy())
         nevals[0] = 0
         t_evals[0] = 0.0
-        print(f"batched C={CHAINS} compile+first eval "
+        print(f"batched C={lanes} compile+first eval "
               f"{time.time() - t0:.1f}s, U0={us0[0]:.2f}", flush=True)
 
     def progress(c, t, phase):
@@ -185,19 +205,19 @@ def main():
             # probe through the batched program — the serial program
             # then never compiles (~80 s saved)
             inv_mass0 = host_hmc.map_diag_inv_mass_batched(
-                vec_fn, z0, CHAINS)
+                vec_fn, z0, lanes)
         else:
             inv_mass0 = host_hmc.map_diag_inv_mass(vg, z0)
         print(f"curvature inv_mass at start: {inv_mass0}", flush=True)
 
     t0 = time.time()
     res = host_hmc.hmc_host_sample(
-        vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=CHAINS,
+        vg, z0, num_warmup=TUNE, num_samples=DRAWS, num_chains=lanes,
         budget=BUDGET, seed=0, callback=progress, on_draw=dump,
         jitter_init=JITTER, inv_mass0=inv_mass0,
         adapt_mass=inv_mass0 is None, vec_eval=vec_fn,
         adapt_tlen=None if TLEN == "" else bool(int(TLEN)),
-        pilot=PILOT)
+        pilot=PILOT, betas=betas)
     wall = time.time() - t0
     lp = res["lp"][0]
     kind = "batched launches" if vec_fn is not None else "evals"
@@ -207,6 +227,10 @@ def main():
           f"({t_evals[0] / max(nevals[0], 1):.2f}s each), "
           f"accept {res['accept'].mean():.2f}, "
           f"{int(res['diverging'].sum())} divergences", flush=True)
+    if TEMPER:
+        print("ladder swap accept:",
+              np.array2string(res["swap_accept"], precision=2),
+              flush=True)
     print("lp draws (chain 0):", np.array2string(lp, precision=2),
           flush=True)
     means = {k: np.asarray(v).mean(axis=(0, 1))

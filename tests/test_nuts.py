@@ -1207,3 +1207,134 @@ def test_batched_fixed_mass_uses_backoff(monkeypatch):
         num_chains=4, budget=8, seed=1, inv_mass0=scales ** 2,
         adapt_mass=False, vec_eval=_batched_gaussian(scales))
     assert called.get("yes")
+
+
+def _batched_bimodal(a=4.0, s=0.5):
+    """U = -log( 0.5 N(-a, s^2) + 0.5 N(+a, s^2) ), 1-D, batched over
+    lanes: a 2*(a/s)^2/2-nat inter-mode barrier that short-trajectory
+    HMC cannot cross at beta=1."""
+
+    def vec_eval(Z):
+        Z = np.asarray(Z)
+        z = Z[:, 0]
+        e_p = -0.5 * ((z - a) / s) ** 2
+        e_m = -0.5 * ((z + a) / s) ** 2
+        m = np.maximum(e_p, e_m)
+        lse = m + np.log(np.exp(e_p - m) + np.exp(e_m - m))
+        u = -lse
+        w_p = np.exp(e_p - lse)
+        w_m = 1.0 - w_p
+        g = (w_p * (z - a) + w_m * (z + a)) / s ** 2
+        return u, g[:, None]
+
+    return vec_eval
+
+
+def test_hmc_host_temper_gaussian_parity():
+    """Tempering must not bias a unimodal posterior: 2 cold + 2 hot
+    lanes on a standard normal return ONLY the 2 cold chains, match
+    N(0, 1), and record healthy ladder swap rates (a Gaussian ladder
+    at beta >= 0.5 overlaps strongly)."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    dim = 2
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(dim), num_warmup=400, num_samples=800,
+        num_chains=4, budget=16, seed=11,
+        vec_eval=_batched_gaussian(np.ones(dim)),
+        betas=np.asarray([1.0, 1.0, 0.7, 0.5]))
+    z = res["z"]
+    assert z.shape == (2, 800, dim)  # cold lanes only
+    assert abs(z.mean()) < 0.12
+    np.testing.assert_allclose(z.reshape(-1, dim).std(axis=0),
+                               np.ones(dim), atol=0.15)
+    np.testing.assert_allclose(res["betas"],
+                               [1.0, 1.0, 0.7, 0.5])
+    assert res["swap_accept"].shape == (2,)
+    assert (res["swap_accept"] > 0.3).all()
+
+
+def test_hmc_host_temper_bimodal_mixing():
+    """The tempering money test: chains started in ONE mode of a
+    well-separated bimodal target.  Plain lockstep HMC stays pinned
+    (the measured 16k between-chain-exchange failure mode in
+    miniature); the tempered ladder's hot lanes cross the barrier and
+    the free swap moves carry both modes into the cold chains at
+    ~equal weight."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    vec_eval = _batched_bimodal(a=4.0, s=0.5)
+    kw = dict(num_warmup=300, num_samples=700, budget=8, seed=7,
+              jitter_init=0.3, adapt_mass=False,
+              inv_mass0=np.asarray([0.25]))
+    plain = host_hmc.hmc_host_sample(
+        None, np.asarray([4.0]), num_chains=4, vec_eval=vec_eval,
+        **kw)
+    # all plain chains remain in the start mode
+    assert (plain["z"] > 0).mean() > 0.99
+    temp = host_hmc.hmc_host_sample(
+        None, np.asarray([4.0]), num_chains=6, vec_eval=vec_eval,
+        betas=np.asarray([1.0, 1.0, 0.55, 0.3, 0.17, 0.09]), **kw)
+    z = temp["z"]
+    assert z.shape[0] == 2  # cold chains only
+    neg_frac = (z < 0).mean()
+    assert 0.25 < neg_frac < 0.75  # both modes, ~equal weight
+    # each cold chain individually visits both modes (the swaps reach
+    # every cold lane via the rotating junction)
+    for c in range(2):
+        assert 0.1 < (z[c] < 0).mean() < 0.9
+    # ladder = rotating cold junction + 4 hot slots -> 4 edges
+    assert temp["swap_accept"].shape == (4,)
+
+
+def test_hmc_host_temper_validation():
+    """Tempering misuse fails fast: no vec_eval, wrong length, betas
+    out of range, no cold lane."""
+    import pytest
+
+    from andvaranaut_tpu.inference import host_hmc
+
+    vec_eval = _batched_gaussian(np.ones(2))
+    kw = dict(num_warmup=4, num_samples=4, budget=4, seed=0)
+    with pytest.raises(ValueError, match="batched"):
+        host_hmc.hmc_host_sample(
+            None, np.zeros(2), num_chains=2,
+            betas=np.asarray([1.0, 0.5]), **kw)
+    with pytest.raises(ValueError, match="one entry per lane"):
+        host_hmc.hmc_host_sample(
+            None, np.zeros(2), num_chains=3, vec_eval=vec_eval,
+            betas=np.asarray([1.0, 0.5]), **kw)
+    with pytest.raises(ValueError, match="lie in"):
+        host_hmc.hmc_host_sample(
+            None, np.zeros(2), num_chains=2, vec_eval=vec_eval,
+            betas=np.asarray([1.0, 1.5]), **kw)
+    with pytest.raises(ValueError, match="cold lane"):
+        host_hmc.hmc_host_sample(
+            None, np.zeros(2), num_chains=2, vec_eval=vec_eval,
+            betas=np.asarray([0.5, 0.25]), **kw)
+
+
+def test_sample_rvpack_temper_gp(rng):
+    """temper= through the public sample_rvpack facade: `chains` cold
+    chains come back (hot lanes are internal), on a real GP
+    hyperposterior through the mixed objective."""
+    from andvaranaut_tpu.gp import bigfit
+
+    n, nx = 48, 2
+    X = rng.uniform(size=(n, nx))
+    y = np.sin(3 * X[:, 0]) + 0.01 * rng.normal(size=n)
+    rvpack, nlp = bigfit.make_mixed_objective(
+        jnp.asarray(X), jnp.asarray(y), kerns=("RBF",), noise=True,
+        jitter=1e-6, block=48)
+    data = nuts.sample_rvpack(
+        rvpack, nlp, draws=20, tune=20, chains=2, sampler="hmc_host",
+        max_treedepth=3, random_seed=5, temper=2, beta_min=0.4)
+    post = data.posterior
+    assert post["l"].shape == (2, 20, nx)
+    assert np.isfinite(data.sample_stats["lp"]).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="batched"):
+        nuts.sample_rvpack(
+            rvpack, nlp, draws=4, tune=4, chains=2,
+            sampler="hmc_host", max_treedepth=3, temper=2, vec="0")
