@@ -1338,3 +1338,48 @@ def test_sample_rvpack_temper_gp(rng):
         nuts.sample_rvpack(
             rvpack, nlp, draws=4, tune=4, chains=2,
             sampler="hmc_host", max_treedepth=3, temper=2, vec="0")
+
+
+def test_hmc_host_temper_pilot_two_stage():
+    """temper + pilot compose: the pilot stage runs tempered too
+    (same lanes -> one compiled batched program for the whole run),
+    its dense mass comes from COLD draws only, and the main stage
+    returns cold chains."""
+    from andvaranaut_tpu.inference import host_hmc
+
+    scales = np.asarray([0.5, 2.0])
+    res = host_hmc.hmc_host_sample(
+        None, np.zeros(2), num_warmup=30, num_samples=60,
+        num_chains=4, budget=8, seed=3,
+        vec_eval=_batched_gaussian(scales),
+        betas=np.asarray([1.0, 1.0, 0.6, 0.36]), pilot=40)
+    assert res["z"].shape == (2, 60, 2)
+    assert np.isfinite(res["lp"]).all()
+    assert (res["swap_accept"] > 0.2).all()
+
+
+def test_sample_model_temper_passthrough(rng, monkeypatch):
+    """sample_model forwards temper/beta_min to sample_rvpack."""
+    from andvaranaut_tpu.gp import engine
+    from andvaranaut_tpu.lhc import _none_conrev
+
+    seen = {}
+
+    def spy(rvpack, nlp, **kw):
+        seen.update(kw)
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(nuts, "sample_rvpack", spy)
+    X = rng.uniform(size=(24, 2))
+    y = np.sin(3 * X[:, 0]).reshape(-1, 1)
+    cfg = engine.FitConfig(
+        kerns=("RBF",), ops=(), noise=True, truncate=False,
+        jitter=1e-6, iwgp=False, cwgp=False, priors=[None, None],
+        xconrevs=[_none_conrev(), _none_conrev()],
+        yconrevs=[_none_conrev()], x=X, y=y)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stop"):
+        nuts.sample_model(cfg, draws=2, tune=2, temper=3,
+                          beta_min=0.2, mixed=True)
+    assert seen["temper"] == 3 and seen["beta_min"] == 0.2
