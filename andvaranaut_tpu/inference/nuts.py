@@ -1288,6 +1288,10 @@ def sample_rvpack(rvpack, neg_log_post, draws=1000, tune=1000, chains=4,
     data = MCMCData(posterior, stats)
     if verbose:
         print(data.summary())
+        if "swap_accept" in res:
+            print("tempering ladder swap accept:",
+                  np.array2string(np.asarray(res["swap_accept"]),
+                                  precision=2))
     return data
 
 

@@ -71,9 +71,16 @@ def main():
         # launch per leapfrog (lax.map above n=8192, vmap below), and
         # `start=g.hypers` fixes the mass to the curvature at the MAP
         # point probed through the same batched program.
+        # LARGE_N_TEMPER > 0 adds that many parallel-tempering lanes
+        # (flattened targets riding the same batched launch; free
+        # replica-exchange swaps feed the cold chains) — the
+        # between-chain mixing lever for the wide flat 16k posterior
+        # basin (docs/TPU_NOTES.md round 5).
+        temper = int(os.environ.get("LARGE_N_TEMPER", "0"))
         t0 = time.time()
         g.fit(method="mcmc_mean", mixed=True, draws=20, tune=20,
-              chains=2, max_treedepth=3, start=g.hypers)
+              chains=2, max_treedepth=3, start=g.hypers,
+              temper=temper)
         print(f"mcmc_mean fit N={N}: {time.time() - t0:.1f} s, "
               f"hypers {g.hypers}")
 
